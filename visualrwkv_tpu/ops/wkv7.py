@@ -1,0 +1,240 @@
+"""RWKV-7 ("x070") WKV recurrence for TPU.
+
+The recurrence (per head, head size N; fp32 state ``S`` of shape ``[N_v, N_k]``)::
+
+    sa_t  = S_{t-1} @ a_t                          # [N_v]
+    S_t   = S_{t-1} * w_t[None, :] + sa_t[:, None] * b_t[None, :] + v_t[:, None] * k_t[None, :]
+    y_t   = S_t @ r_t                              # [N_v]
+
+where ``w_t = exp(-exp(w_raw_t))`` and, in RWKV-7, ``a_t = -kappa_t`` (L2-normalized
+key) and ``b_t = kappa_t * alpha_t``.  This matches the semantics of the reference
+CUDA "wind backstepping" kernel (reference: VisualRWKV-v7/v7.00/cuda/wkv7_cuda.cu:17-51
+and the einsum spec in VisualRWKV-v6/v6.xx/RWKV-v7_simple.py:20-32), extended with an
+explicit initial/final state so the same op powers state-tuning, image-as-state
+training, and streaming prefill.
+
+Two implementations:
+
+* :func:`wkv7_reference` — step-by-step ``lax.scan`` in fp32.  The golden model for
+  parity tests and the T=1 decode path.
+* :func:`wkv7_chunked` — a chunked, matmul-dominant reformulation (diagonal-plus-
+  low-rank / generalized delta rule).  All O(T * N^2) work becomes batched matmuls
+  on the MXU; only a T/L-step scan over chunk-boundary states remains sequential.
+
+Chunked math (derived from scratch; per chunk of length L, carrying Z = S^T):
+
+    g_t      = cumsum(log w)                        (log w = -exp(w_raw), given)
+    a~_t     = a_t * exp(g_{t-1})                   (decay-adjusted a)
+    b^_t     = b_t * exp(-g_t),  k^_t = k_t * exp(-g_t)
+    r~_t     = r_t * exp(g_t)
+    b-_t     = b_t * exp(g_L - g_t), k-_t = k_t * exp(g_L - g_t)
+
+    M        = strict_tril(A~ B^T),  Nm = strict_tril(A~ K^T)     [L, L]
+    T        = (I - M)^{-1}          (M nilpotent: 4 matmuls via doubling)
+    U        = T (A~ Z + Nm V)       ("sa" rows)
+    Y        = R~ Z + tril(R~ B^T) U + tril(R~ K^T) V
+    Z'       = diag(exp(g_L)) Z + B-^T U + K-^T V
+
+Folding chunk-local pieces gives a 2-matmul scan step:
+    Y_c = Qeff_c Z + Yloc_c ;   Z <- Geff-form: exp(g_L) * Z + BTA_c Z + Hloc_c
+
+Ratios exp(g_s - g_r) are <= 1; the factored exp(-g) intermediates are bounded by
+exp(L * exp(-0.5)) (w_raw is soft-clamped to <= -0.5 upstream), safely inside fp32
+range for L <= 64.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+DEFAULT_CHUNK = 16  # matches the reference kernel's _CHUNK_LEN_ (wkv7_cuda.cu:44)
+
+
+def _validate(r, w, k, v, a, b):
+    shape = r.shape
+    for x in (w, k, v, a, b):
+        if x.shape != shape:
+            raise ValueError(f"wkv7 inputs must share shape; got {x.shape} vs {shape}")
+    if len(shape) != 4:
+        raise ValueError(f"wkv7 inputs must be [B, T, H, N]; got {shape}")
+
+
+def wkv7_step(
+    state: Array, r: Array, w_raw: Array, k: Array, v: Array, a: Array, b: Array
+) -> Tuple[Array, Array]:
+    """Single-token WKV7 update (the O(1) decode step).
+
+    Args:
+      state: ``[..., H, N_v, N_k]`` fp32.
+      r, w_raw, k, v, a, b: ``[..., H, N]``.
+    Returns:
+      (new_state fp32, y) with y of r's dtype.
+    """
+    f32 = jnp.float32
+    r, k, v, a, b = (x.astype(f32) for x in (r, k, v, a, b))
+    w = jnp.exp(-jnp.exp(w_raw.astype(f32)))
+    sa = jnp.einsum("...ij,...j->...i", state, a)
+    state = (
+        state * w[..., None, :]
+        + sa[..., :, None] * b[..., None, :]
+        + v[..., :, None] * k[..., None, :]
+    )
+    y = jnp.einsum("...ij,...j->...i", state, r)
+    return state, y
+
+
+def wkv7_reference(
+    r: Array,
+    w_raw: Array,
+    k: Array,
+    v: Array,
+    a: Array,
+    b: Array,
+    initial_state: Optional[Array] = None,
+) -> Tuple[Array, Array]:
+    """Step-by-step fp32 scan. Golden reference; O(T) sequential.
+
+    Args:
+      r, w_raw, k, v, a, b: ``[B, T, H, N]`` (any float dtype).
+      initial_state: optional ``[B, H, N_v, N_k]`` fp32.
+    Returns:
+      (y ``[B, T, H, N]`` in r.dtype, final_state fp32).
+    """
+    _validate(r, w_raw, k, v, a, b)
+    B, T, H, N = r.shape
+    if initial_state is None:
+        initial_state = jnp.zeros((B, H, N, N), jnp.float32)
+
+    def step(state, inputs):
+        rt, wt, kt, vt, at, bt = inputs
+        state, y = wkv7_step(state, rt, wt, kt, vt, at, bt)
+        return state, y
+
+    xs = tuple(jnp.moveaxis(x, 1, 0) for x in (r, w_raw, k, v, a, b))
+    final_state, ys = jax.lax.scan(step, initial_state, xs)
+    return jnp.moveaxis(ys, 0, 1).astype(r.dtype), final_state
+
+
+def _tri_inverse_unit_lower(m_strict: Array) -> Array:
+    """(I - M)^{-1} for strictly-lower-triangular M over the last two dims.
+
+    Uses the nilpotent doubling identity (I-M)^{-1} = (I+M)(I+M^2)(I+M^4)... —
+    exact for L <= 2^ceil(log2(L)) and all-matmul (MXU-friendly).
+    """
+    L = m_strict.shape[-1]
+    eye = jnp.eye(L, dtype=m_strict.dtype)
+    t = eye + m_strict
+    p = m_strict
+    steps = max(0, (L - 1).bit_length() - 1)
+    for _ in range(steps):
+        p = jnp.matmul(p, p, preferred_element_type=jnp.float32)
+        t = jnp.matmul(t, eye + p, preferred_element_type=jnp.float32)
+    return t
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def wkv7_chunked(
+    r: Array,
+    w_raw: Array,
+    k: Array,
+    v: Array,
+    a: Array,
+    b: Array,
+    initial_state: Optional[Array] = None,
+    chunk: int = DEFAULT_CHUNK,
+) -> Tuple[Array, Array]:
+    """Chunked matmul-dominant WKV7. Requires T % chunk == 0.
+
+    Same signature/semantics as :func:`wkv7_reference`; differentiable via JAX
+    autodiff (the whole graph is jnp matmuls + a short scan over chunk states).
+    """
+    _validate(r, w_raw, k, v, a, b)
+    B, T, H, N = r.shape
+    if T % chunk != 0:
+        raise ValueError(f"T={T} must be a multiple of chunk={chunk}")
+    L = chunk
+    nc = T // L
+    f32 = jnp.float32
+
+    if initial_state is None:
+        z0 = jnp.zeros((B, H, N, N), f32)
+    else:
+        # carry Z = S^T ([N_k, N_v])
+        z0 = jnp.swapaxes(initial_state.astype(f32), -1, -2)
+
+    # [B, T, H, N] -> [B, H, nc, L, N]
+    def chunked(x):
+        x = x.astype(f32)
+        x = jnp.transpose(x, (0, 2, 1, 3))  # B H T N
+        return x.reshape(B, H, nc, L, N)
+
+    rc, wc, kc, vc, ac, bc = (chunked(x) for x in (r, w_raw, k, v, a, b))
+
+    logw = -jnp.exp(wc)  # log of per-step decay, <= 0
+    g = jnp.cumsum(logw, axis=-2)  # inclusive cumsum over L
+    g_prev = g - logw  # exclusive cumsum
+    g_last = g[..., -1:, :]  # [B,H,nc,1,N]
+
+    a_t = ac * jnp.exp(g_prev)
+    b_h = bc * jnp.exp(-g)
+    k_h = kc * jnp.exp(-g)
+    r_t = rc * jnp.exp(g)
+    b_bar = bc * jnp.exp(g_last - g)
+    k_bar = kc * jnp.exp(g_last - g)
+
+    mm = functools.partial(jnp.matmul, preferred_element_type=f32)
+    tt = lambda x: jnp.swapaxes(x, -1, -2)
+
+    strict = jnp.tril(jnp.ones((L, L), f32), -1)
+    incl = jnp.tril(jnp.ones((L, L), f32))
+
+    m_mat = mm(a_t, tt(b_h)) * strict  # [.., L, L]
+    n_mat = mm(a_t, tt(k_h)) * strict
+    t_inv = _tri_inverse_unit_lower(m_mat)
+
+    u0 = mm(t_inv, mm(n_mat, vc))  # [.., L, Nv] chunk-local "sa" part
+    ta = mm(t_inv, a_t)  # [.., L, Nk]
+    sb = mm(r_t, tt(b_h)) * incl  # [.., L, L]
+    sk = mm(r_t, tt(k_h)) * incl
+
+    q_eff = r_t + mm(sb, ta)  # [.., L, Nk]
+    y_loc = mm(sb, u0) + mm(sk, vc)  # [.., L, Nv]
+    bta = mm(tt(b_bar), ta)  # [.., Nk, Nk]
+    h_loc = mm(tt(b_bar), u0) + mm(tt(k_bar), vc)  # [.., Nk, Nv]
+    p_last = jnp.exp(g_last)  # [.., 1, N]
+
+    # scan over chunks: Y_c = q_eff_c @ Z + y_loc_c ; Z <- pL*Z + bta_c @ Z + h_loc_c
+    def scan_chunk(z, inputs):
+        q_c, yl_c, bta_c, hl_c, pl_c = inputs
+        y_c = mm(q_c, z) + yl_c
+        z = pl_c.reshape(B, H, N, 1) * z + mm(bta_c, z) + hl_c
+        return z, y_c
+
+    xs = tuple(
+        jnp.moveaxis(x, 2, 0) for x in (q_eff, y_loc, bta, h_loc, p_last)
+    )
+    z_final, ys = jax.lax.scan(scan_chunk, z0, xs)
+
+    ys = jnp.moveaxis(ys, 0, 2)  # [B, H, nc, L, N]
+    y = jnp.transpose(ys.reshape(B, H, T, N), (0, 2, 1, 3))
+    return y.astype(r.dtype), jnp.swapaxes(z_final, -1, -2)
+
+
+def wkv7(
+    r: Array,
+    w_raw: Array,
+    k: Array,
+    v: Array,
+    a: Array,
+    b: Array,
+    initial_state: Optional[Array] = None,
+    chunk: int = DEFAULT_CHUNK,
+) -> Tuple[Array, Array]:
+    """Dispatching entry point used by the models (chunked implementation)."""
+    return wkv7_chunked(r, w_raw, k, v, a, b, initial_state, chunk=chunk)
