@@ -1,0 +1,72 @@
+"""WKV6 kernel parity tests (same methodology as test_wkv7)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visualrwkv_tpu.ops.wkv6 import wkv6_chunked, wkv6_reference, wkv6_step
+
+
+def make_inputs(key, B=2, T=64, H=3, N=16):
+    ks = jax.random.split(key, 5)
+    shape = (B, T, H, N)
+    r = jax.random.normal(ks[0], shape)
+    w = -0.3 - jax.nn.softplus(-jax.random.normal(ks[1], shape))
+    k = jax.random.normal(ks[2], shape)
+    v = jax.random.normal(ks[3], shape)
+    u = jax.random.normal(ks[4], (H, N))
+    return r, w, k, v, u
+
+
+def rel_err(x, y):
+    x, y = np.asarray(x, np.float64), np.asarray(y, np.float64)
+    return np.sqrt(((x - y) ** 2).sum() / max(1e-30, (y**2).sum()))
+
+
+@pytest.mark.parametrize("chunk", [16, 32])
+def test_chunked_matches_reference(chunk):
+    inputs = make_inputs(jax.random.PRNGKey(0))
+    y_ref, s_ref = wkv6_reference(*inputs)
+    y_chk, s_chk = wkv6_chunked(*inputs, chunk=chunk)
+    assert rel_err(y_chk, y_ref) < 1e-5
+    assert rel_err(s_chk, s_ref) < 1e-5
+
+
+def test_initial_state_and_chaining():
+    inputs = make_inputs(jax.random.PRNGKey(1), B=1, T=64, H=2, N=8)
+    y_full, s_full = wkv6_chunked(*inputs, chunk=16)
+    first = tuple(x[:, :32] for x in inputs[:4]) + (inputs[4],)
+    second = tuple(x[:, 32:] for x in inputs[:4]) + (inputs[4],)
+    y1, s1 = wkv6_chunked(*first, chunk=16)
+    y2, s2 = wkv6_chunked(*second, initial_state=s1, chunk=16)
+    assert rel_err(jnp.concatenate([y1, y2], axis=1), y_full) < 1e-5
+    assert rel_err(s2, s_full) < 1e-5
+
+
+def test_step_matches_reference():
+    inputs = make_inputs(jax.random.PRNGKey(2), B=1, T=8, H=2, N=8)
+    y_ref, s_ref = wkv6_reference(*inputs)
+    state = jnp.zeros((1, 2, 8, 8), jnp.float32)
+    ys = []
+    for t in range(8):
+        state, y = wkv6_step(state, *(x[:, t] for x in inputs[:4]), inputs[4])
+        ys.append(y)
+    assert rel_err(jnp.stack(ys, axis=1), y_ref) < 1e-6
+    assert rel_err(state, s_ref) < 1e-6
+
+
+def test_gradients_match_reference():
+    inputs = make_inputs(jax.random.PRNGKey(3), B=1, T=32, H=2, N=8)
+    s0 = jax.random.normal(jax.random.PRNGKey(9), (1, 2, 8, 8), jnp.float32)
+
+    def loss(fn):
+        def inner(*args):
+            y, s = fn(*args[:5], initial_state=args[5])
+            return (y**2).sum() + (s**2).sum()
+        return inner
+
+    g_ref = jax.grad(loss(wkv6_reference), argnums=tuple(range(6)))(*inputs, s0)
+    g_chk = jax.grad(loss(wkv6_chunked), argnums=tuple(range(6)))(*inputs, s0)
+    for name, gr, gc in zip(["r", "w", "k", "v", "u", "s0"], g_ref, g_chk):
+        assert rel_err(gc, gr) < 1e-4, f"grad mismatch for {name}"

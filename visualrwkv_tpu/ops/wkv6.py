@@ -1,0 +1,150 @@
+"""RWKV-6 (and RWKV-5) WKV recurrence for TPU.
+
+Per head (state ``S`` of shape ``[N_v, N_k]``; bonus ``u`` per channel)::
+
+    y_t  = (S_{t-1} + (u * k_t) outer v_t^T-wise) @ r_t
+         = S_{t-1} @ r_t + (sum_j u_j k_tj r_tj) * v_t
+    S_t  = S_{t-1} * w_t[None, :] + v_t[:, None] * k_t[None, :]
+
+with ``w_t = exp(-exp(w_raw_t))`` data-dependent (RWKV-6) or per-channel
+constant (RWKV-5).  Matches the reference CUDA kernel semantics
+(VisualRWKV-v6/v6.0/cuda/wkv6_cuda.cu:7-61: ``y += r[j]*(u[j]*k[j]*v + s)``,
+``s = s*w[j] + k[j]*v``), with explicit initial/final state (the reference's
+fla `fused_recurrent_rwkv6(initial_state=...)` path, v6.xx/src/model.py:35-43).
+
+Chunked form is plain gated linear attention:
+
+    g_t  = cumsum(log w);  p_t = exp(g_t)
+    Y    = (R * p_prev) Z + strict_tril((R*p_prev) (K/p)^T) V + (u·(k_t*r_t)) v_t
+    Z'   = p_L * Z + (K * p_L/p)^T V
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+DEFAULT_CHUNK = 16
+
+
+def wkv6_step(
+    state: Array, r: Array, w_raw: Array, k: Array, v: Array, u: Array
+) -> Tuple[Array, Array]:
+    """Single-token WKV6 update (O(1) decode step).
+
+    state: ``[..., H, N_v, N_k]`` fp32; r/w_raw/k/v: ``[..., H, N]``; u: ``[H, N]``.
+    """
+    f32 = jnp.float32
+    r, k, v = (x.astype(f32) for x in (r, k, v))
+    u = u.astype(f32)
+    w = jnp.exp(-jnp.exp(w_raw.astype(f32)))
+    bonus = jnp.sum(u * k * r, axis=-1, keepdims=True)  # [..., H, 1]
+    y = jnp.einsum("...ij,...j->...i", state, r) + bonus * v
+    state = state * w[..., None, :] + v[..., :, None] * k[..., None, :]
+    return state, y
+
+
+def wkv6_reference(
+    r: Array,
+    w_raw: Array,
+    k: Array,
+    v: Array,
+    u: Array,
+    initial_state: Optional[Array] = None,
+) -> Tuple[Array, Array]:
+    """Step-by-step fp32 scan; golden reference.
+
+    r, w_raw, k, v: ``[B, T, H, N]``; u: ``[H, N]``.
+    """
+    B, T, H, N = r.shape
+    if initial_state is None:
+        initial_state = jnp.zeros((B, H, N, N), jnp.float32)
+
+    def step(state, inputs):
+        rt, wt, kt, vt = inputs
+        state, y = wkv6_step(state, rt, wt, kt, vt, u)
+        return state, y
+
+    xs = tuple(jnp.moveaxis(x, 1, 0) for x in (r, w_raw, k, v))
+    final_state, ys = jax.lax.scan(step, initial_state, xs)
+    return jnp.moveaxis(ys, 0, 1).astype(r.dtype), final_state
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def wkv6_chunked(
+    r: Array,
+    w_raw: Array,
+    k: Array,
+    v: Array,
+    u: Array,
+    initial_state: Optional[Array] = None,
+    chunk: int = DEFAULT_CHUNK,
+) -> Tuple[Array, Array]:
+    """Chunked matmul-dominant WKV6. Requires T % chunk == 0."""
+    B, T, H, N = r.shape
+    if T % chunk != 0:
+        raise ValueError(f"T={T} must be a multiple of chunk={chunk}")
+    L = chunk
+    nc = T // L
+    f32 = jnp.float32
+
+    if initial_state is None:
+        z0 = jnp.zeros((B, H, N, N), f32)
+    else:
+        z0 = jnp.swapaxes(initial_state.astype(f32), -1, -2)  # Z = S^T
+
+    def chunked(x):
+        x = x.astype(f32)
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(B, H, nc, L, N)
+
+    rc, wc, kc, vc = (chunked(x) for x in (r, w_raw, k, v))
+
+    logw = -jnp.exp(wc)
+    g = jnp.cumsum(logw, axis=-2)
+    g_prev = g - logw
+    g_last = g[..., -1:, :]
+
+    r_t = rc * jnp.exp(g_prev)  # query sees state BEFORE this step's decay
+    k_h = kc * jnp.exp(-g)
+    k_bar = kc * jnp.exp(g_last - g)
+
+    mm = functools.partial(jnp.matmul, preferred_element_type=f32)
+    tt = lambda x: jnp.swapaxes(x, -1, -2)
+    strict = jnp.tril(jnp.ones((L, L), f32), -1)
+
+    sk = mm(r_t, tt(k_h)) * strict  # [.., L, L]
+    bonus = jnp.sum(u.astype(f32)[None, :, None, None, :] * kc * rc, axis=-1, keepdims=True)
+    y_loc = mm(sk, vc) + bonus * vc  # [.., L, Nv]
+    h_loc = mm(tt(k_bar), vc)  # [.., Nk, Nv]
+    p_last = jnp.exp(g_last)
+
+    def scan_chunk(z, inputs):
+        q_c, yl_c, hl_c, pl_c = inputs
+        y_c = mm(q_c, z) + yl_c
+        z = pl_c.reshape(B, H, N, 1) * z + hl_c
+        return z, y_c
+
+    xs = tuple(jnp.moveaxis(x, 2, 0) for x in (r_t, y_loc, h_loc, p_last))
+    z_final, ys = jax.lax.scan(scan_chunk, z0, xs)
+
+    ys = jnp.moveaxis(ys, 0, 2)
+    y = jnp.transpose(ys.reshape(B, H, T, N), (0, 2, 1, 3))
+    return y.astype(r.dtype), jnp.swapaxes(z_final, -1, -2)
+
+
+def wkv6(
+    r: Array,
+    w_raw: Array,
+    k: Array,
+    v: Array,
+    u: Array,
+    initial_state: Optional[Array] = None,
+    chunk: int = DEFAULT_CHUNK,
+) -> Tuple[Array, Array]:
+    """Dispatching entry point used by the models (chunked implementation)."""
+    return wkv6_chunked(r, w_raw, k, v, u, initial_state, chunk=chunk)
