@@ -1,0 +1,131 @@
+"""Configuration tree for visualrwkv_tpu.
+
+One typed dataclass tree replaces the reference's ~45 argparse flags +
+cross-module environment variables (reference: VisualRWKV-v7/v7.00/train.py:16-66,
+RWKV_CTXLEN/RWKV_HEAD_SIZE_A env config at train.py:99-100).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+def _round_up(x: float, m: int) -> int:
+    return int((int(x) + m - 1) // m * m)
+
+
+@dataclass(frozen=True)
+class RWKVConfig:
+    """RWKV language model configuration (v7 "x070" or v6 "x060")."""
+
+    n_layer: int = 12
+    n_embd: int = 768
+    vocab_size: int = 65536
+    version: str = "x070"  # "x070" | "x060"
+    head_size: int = 64  # RWKV_HEAD_SIZE_A
+    head_size_divisor: int = 8
+    ctx_len: int = 2048
+    dim_att: int = 0  # 0 -> n_embd
+    dim_ffn: int = 0  # 0 -> 4x (x070) / 3.5x rounded to 32 (x060)
+    dropout: float = 0.0
+    chunk_len: int = 16  # WKV chunk length (T padded to a multiple of this)
+    # compute dtype for matmuls; params are kept fp32
+    compute_dtype: str = "bfloat16"
+
+    def __post_init__(self):
+        if self.dim_att == 0:
+            object.__setattr__(self, "dim_att", self.n_embd)
+        if self.dim_ffn == 0:
+            if self.version == "x070":
+                # reference: 4x for v7 CMix (src/model.py:214)
+                object.__setattr__(self, "dim_ffn", self.n_embd * 4)
+            else:
+                # reference: 3.5x rounded to 32 for v6 (train.py:104)
+                object.__setattr__(self, "dim_ffn", _round_up(self.n_embd * 3.5, 32))
+
+    @property
+    def n_head(self) -> int:
+        assert self.dim_att % self.head_size == 0
+        return self.dim_att // self.head_size
+
+    # LoRA dims follow the reference "suggestion" formulas (src/model.py:118-140)
+    @property
+    def d_decay_lora(self) -> int:
+        return max(32, _round_up(round(1.8 * self.n_embd**0.5), 32))
+
+    @property
+    def d_aaa_lora(self) -> int:
+        return max(32, _round_up(round(1.8 * self.n_embd**0.5), 32))
+
+    @property
+    def d_mv_lora(self) -> int:
+        return max(32, _round_up(round(1.3 * self.n_embd**0.5), 32))
+
+    @property
+    def d_gate_lora(self) -> int:
+        return max(32, _round_up(round(0.6 * self.n_embd**0.8), 32))
+
+
+@dataclass(frozen=True)
+class VisionConfig:
+    """Vision backbone ensemble configuration."""
+
+    towers: Tuple[str, ...] = ("dino", "siglip", "sam")  # or ("siglip",), ("clip",)
+    image_size: int = 448
+    sam_image_size: int = 1024
+    # per-tower feature dims (dino-L=1024, siglip-so400m=1152, sam-b neck+s2d=1024)
+    dino_dim: int = 1024
+    siglip_dim: int = 1152
+    sam_dim: int = 1024
+
+    @property
+    def embed_dim(self) -> int:
+        dims = {"dino": self.dino_dim, "siglip": self.siglip_dim, "sam": self.sam_dim}
+        return sum(dims[t] for t in self.towers)
+
+
+@dataclass(frozen=True)
+class VLMConfig:
+    """VisualRWKV multimodal assembly configuration."""
+
+    rwkv: RWKVConfig = field(default_factory=RWKVConfig)
+    vision: VisionConfig = field(default_factory=VisionConfig)
+    proj_type: str = "mlp"  # "linear" | "mlp" (gated MLP, reference MLPWithContextGating)
+    num_token_per_image: int = 1024
+    image_position: str = "first"  # "first" | "middle" | "last" (v6.0 sandwich prompts)
+    n_vtc_layer: int = 0  # visual token compressor depth (v7.03); 0 = disabled
+    bidirectional_image: bool = False  # v6.0/HD/UHD odd-layer image-span flip
+
+    def replace(self, **kw) -> "VLMConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Trainer configuration (reference train.py flags + trainer.py schedule)."""
+
+    lr_init: float = 6e-4
+    lr_final: float = 1e-5
+    warmup_steps: int = -1
+    beta1: float = 0.9
+    beta2: float = 0.99
+    adam_eps: float = 1e-8
+    weight_decay: float = 0.0
+    weight_decay_final: float = -1.0
+    grad_clip: float = 1.0
+    micro_bsz: int = 2
+    accumulate_grad_batches: int = 1
+    epoch_steps: int = 1000
+    epoch_count: int = 2
+    epoch_begin: int = 0
+    epoch_save: int = 1
+    grad_cp: bool = True  # activation checkpointing per block
+    # freezing controls (reference model.py:368-388, train.py:192-196)
+    freeze_rwkv_layers: int = 0
+    freeze_emb: bool = False
+    freeze_proj: bool = False
+    enable_state_tuning: bool = False
+    # parallelism: data-parallel mesh size is taken from the runtime mesh
+    zero_stage: int = 1  # 0: replicated opt state, 1: sharded opt state (ZeRO-1)
