@@ -1,0 +1,122 @@
+"""PyTorch checkpoint <-> JAX parameter converters.
+
+Imports reference RWKV / VisualRWKV ``.pth`` state dicts (key layout per
+VisualRWKV-v7/v7.00/src/model.py:76-325 and train.py:182-191) into the
+functional parameter pytrees of :mod:`visualrwkv_tpu.models`, and exports back
+for interop with the reference demo apps (reference export.py splits combined
+checkpoints the same way).
+
+Layout rules:
+- torch ``nn.Linear.weight`` is ``[out, in]``; ours is ``[in, out]`` -> transpose.
+- reference time-mix params are ``(1, 1, C)``; ours are ``(C,)``.
+- ``att.r_k`` stays ``(H, N)``; GroupNorm ``ln_x.{weight,bias}`` stays ``(C,)``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+Params = Dict[str, Any]
+
+# torch Linear leaves (transpose to [in, out])
+_LINEAR_RE = re.compile(
+    r"\.(receptance|key|value|output|head|gate|o_proj)\.weight$|^head\.weight$"
+)
+# 2-D LoRA mats kept as-is (reference stores them math-ready: x @ w1 @ w2)
+_LORA_KEYS = {"w1", "w2", "a1", "a2", "v1", "v2", "g1", "g2"}
+
+
+def _to_numpy(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        return t.detach().to("cpu").float().numpy()
+    return np.asarray(t, np.float32)
+
+
+def _assign(tree: Params, path: list, value: np.ndarray) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def import_rwkv_state_dict(state_dict: Mapping[str, Any]) -> Params:
+    """Convert a reference RWKV LM state dict into our parameter pytree.
+
+    Handles both bare-LM checkpoints (``blocks.0...``) and VisualRWKV combined
+    checkpoints with a ``rwkv.`` prefix.
+    """
+    out: Params = {"blocks": {}}
+    for key, tensor in state_dict.items():
+        if key.startswith("rwkv."):
+            key = key[len("rwkv."):]
+        arr = _to_numpy(tensor)
+        parts = key.split(".")
+
+        if parts[0] == "blocks":
+            layer = int(parts[1])
+            sub = parts[2:]
+            blk = out["blocks"].setdefault(layer, {})
+            leaf = sub[-2] if sub[-1] in ("weight", "bias") else sub[-1]
+            if sub[-1] == "weight" and _LINEAR_RE.search(key):
+                _assign(blk, sub[:-2] + [leaf, "weight"], arr.T)
+            elif leaf in _LORA_KEYS:
+                _assign(blk, sub, arr)
+            elif arr.ndim == 3 and arr.shape[:2] == (1, 1):
+                # (1,1,C) time-mix / w0 / a0 / v0 / k_k / k_a params
+                _assign(blk, sub, arr.reshape(-1))
+            else:
+                _assign(blk, sub, arr)
+        elif key == "emb.weight":
+            out["emb"] = {"weight": arr}
+        elif key == "head.weight":
+            out["head"] = {"weight": arr.T}
+        elif parts[0] == "ln_out":
+            out.setdefault("ln_out", {})[parts[1]] = arr
+        else:
+            raise KeyError(f"unrecognized RWKV checkpoint key: {key}")
+
+    # dict-of-int -> ordered list
+    layers = sorted(out["blocks"])
+    assert layers == list(range(len(layers))), f"missing layers: {layers}"
+    out["blocks"] = [out["blocks"][i] for i in layers]
+    return out
+
+
+def export_rwkv_state_dict(params: Params, prefix: str = "") -> Dict[str, np.ndarray]:
+    """Inverse of :func:`import_rwkv_state_dict` (numpy state dict, fp32)."""
+    sd: Dict[str, np.ndarray] = {}
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, path + [k])
+        elif isinstance(node, list):
+            for i, v in enumerate(node):
+                walk(v, path + [str(i)])
+        else:
+            key = ".".join(path)
+            arr = np.asarray(node, np.float32)
+            if key.endswith("weight") and _LINEAR_RE.search(key):
+                arr = arr.T
+            elif path[-1] in (
+                "x_r", "x_w", "x_k", "x_v", "x_a", "x_g",
+                "w0", "a0", "v0", "k_k", "k_a",
+            ) and arr.ndim == 1 and "ffn" not in path:
+                arr = arr.reshape(1, 1, -1)
+            elif path[-1] == "x_k" and "ffn" in path:
+                arr = arr.reshape(1, 1, -1)
+            sd[prefix + key] = arr
+
+    walk(params, [])
+    return sd
+
+
+def load_pth(path: str) -> Dict[str, np.ndarray]:
+    """Load a .pth file to numpy (torch is only needed here, on the host)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: _to_numpy(v) for k, v in sd.items()}
