@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 
 def _round_up(x: float, m: int) -> int:
@@ -79,6 +79,9 @@ class VisionConfig:
     dino_dim: int = 1024
     siglip_dim: int = 1152
     sam_dim: int = 1024
+    # optional mapping tower-name -> ViTConfig/SAMConfig overriding the default
+    # architectures (used for custom/smoke-test towers)
+    tower_config_overrides: Any = None
 
     @property
     def embed_dim(self) -> int:

@@ -1,0 +1,141 @@
+"""VisualRWKV: the multimodal assembly (vision ensemble -> projector -> token
+scatter -> RWKV LM -> loss).
+
+Mirrors the reference VisualRWKV LightningModule (VisualRWKV-v7/v7.00/
+src/model.py:341-530) as pure functions over a combined parameter tree
+``{"rwkv", "vit", "proj"}``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from visualrwkv_tpu.config import VLMConfig
+from visualrwkv_tpu.data.conversation import IGNORE_INDEX
+from visualrwkv_tpu.models import rwkv7
+from visualrwkv_tpu.multimodal.projector import (
+    adaptive_pool_tokens,
+    apply_projector,
+    init_projector_params,
+    scatter_image_features,
+)
+from visualrwkv_tpu.vision.backbone import backbone_features, init_backbone_params
+
+Array = jax.Array
+Params = Dict[str, Any]
+
+
+def init_visualrwkv_params(key: Array, cfg: VLMConfig) -> Params:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "rwkv": rwkv7.init_rwkv7_params(k1, cfg.rwkv),
+        "vit": init_backbone_params(k2, cfg.vision, cfg.rwkv.compute_dtype),
+        "proj": init_projector_params(
+            k3, cfg.proj_type, cfg.vision.embed_dim, cfg.rwkv.n_embd
+        ),
+    }
+
+
+def encode_images(
+    params: Params, cfg: VLMConfig, images: Dict[str, Array], normalized: bool = False
+) -> Array:
+    """images (per-tower pixel batches) -> [N_img, num_token_per_image, n_embd].
+
+    Vision towers are frozen feature extractors (reference freeze_vit +
+    ``.detach()`` in encode_images, model.py:368-369,449-471): gradients are
+    stopped before the projector. The reference's minibatch-4 + empty_cache
+    VRAM workaround is unnecessary under XLA's static allocator.
+    """
+    feats = backbone_features(
+        params["vit"], cfg.vision, images, cfg.rwkv.compute_dtype, normalized
+    )
+    feats = jax.lax.stop_gradient(feats)
+    feats = adaptive_pool_tokens(feats, cfg.num_token_per_image)
+    return apply_projector(
+        params["proj"], cfg.proj_type, feats, jnp.dtype(cfg.rwkv.compute_dtype)
+    )
+
+
+def prepare_embeddings(
+    params: Params,
+    cfg: VLMConfig,
+    input_ids: Array,
+    images: Optional[Dict[str, Array]] = None,
+    image_features: Optional[Array] = None,
+    normalized: bool = False,
+) -> Array:
+    """Token embeddings with image features scattered at image-token slots."""
+    input_embeds = rwkv7.embed(params["rwkv"], jnp.clip(input_ids, 0, cfg.rwkv.vocab_size - 1))
+    if image_features is None:
+        if images is None:
+            return input_embeds
+        image_features = encode_images(params, cfg, images, normalized)
+    return scatter_image_features(input_ids, input_embeds, image_features)
+
+
+def vlm_forward(
+    params: Params,
+    cfg: VLMConfig,
+    input_ids: Array,
+    images: Optional[Dict[str, Array]] = None,
+    grad_cp: bool = False,
+) -> Array:
+    x = prepare_embeddings(params, cfg, input_ids, images)
+    logits, _ = rwkv7.rwkv7_forward(params["rwkv"], cfg.rwkv, x, grad_cp=grad_cp)
+    return logits
+
+
+# ---------------------------------------------------------------------------
+# Loss (shifted CE, per-sample valid-length normalization, L2Wrap)
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def l2wrap(loss: Array, logits: Array) -> Array:
+    return loss
+
+
+def _l2wrap_fwd(loss, logits):
+    return loss, logits
+
+
+def _l2wrap_bwd(logits, g):
+    # reference L2Wrap (src/model.py:257-271): push the max logit toward 0.
+    # Like the reference, the injected gradient is NOT scaled by the upstream
+    # cotangent (upstream is 1.0 for a scalar loss).
+    B, T, V = logits.shape
+    factor = 1e-4 / (B * T)
+    maxx = jnp.max(logits, axis=-1, keepdims=True)
+    ids = jnp.argmax(logits, axis=-1)
+    gy = jax.nn.one_hot(ids, V, dtype=logits.dtype) * (maxx * factor)
+    return g, gy
+
+
+l2wrap.defvjp(_l2wrap_fwd, _l2wrap_bwd)
+
+
+def training_loss(
+    params: Params,
+    cfg: VLMConfig,
+    input_ids: Array,
+    labels: Array,
+    images: Optional[Dict[str, Array]] = None,
+    grad_cp: bool = True,
+) -> Array:
+    """Shifted cross-entropy, per-sample normalized by valid-label count, then
+    batch mean, with the L2Wrap logit penalty (reference training_step,
+    src/model.py:418-434)."""
+    logits = vlm_forward(params, cfg, input_ids, images, grad_cp=grad_cp)
+    shift_logits = logits[:, :-1].astype(jnp.float32)
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != IGNORE_INDEX
+    valid_lengths = jnp.maximum(valid.sum(axis=1), 1)
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    logz = jax.nn.logsumexp(shift_logits, axis=-1)
+    gold = jnp.take_along_axis(shift_logits, safe_labels[..., None], axis=-1)[..., 0]
+    ce = jnp.where(valid, logz - gold, 0.0)
+    loss = (ce.sum(axis=1) / valid_lengths).mean()
+    return l2wrap(loss, logits.astype(jnp.float32))
