@@ -1,0 +1,88 @@
+"""Optimizer construction.
+
+AdamW with the reference's two-group policy — weight decay only on parameters
+whose squeezed shape has >= 2 dims (VisualRWKV-v7/v7.00/src/model.py:390-407) —
+plus global-norm clipping, schedule injection, and freezing masks
+(freeze_rwkv/emb/proj/vit, model.py:368-388).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from visualrwkv_tpu.config import TrainConfig
+from visualrwkv_tpu.train.schedule import cosine_warmup_lr, wd_schedule
+
+Params = Any
+
+
+def weight_decay_mask(params: Params) -> Params:
+    """True where the squeezed parameter has >= 2 dims (gets weight decay)."""
+    return jax.tree_util.tree_map(
+        lambda p: len([d for d in jnp.shape(p) if d > 1]) >= 2, params
+    )
+
+
+def trainable_mask(params: Params, cfg: TrainConfig, n_layer: int) -> Params:
+    """Boolean pytree: False = frozen.
+
+    Supports the reference freezing controls: first-N-layer freeze, embedding,
+    projector, and always-frozen vision towers.
+    """
+    def decide(path, _) -> bool:
+        keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+        if keys and keys[0] == "vit":
+            return False
+        if keys and keys[0] == "proj" and cfg.freeze_proj:
+            return False
+        if "emb" in keys and cfg.freeze_emb:
+            return False
+        if keys and keys[0] == "rwkv" and "blocks" in keys:
+            i = keys.index("blocks")
+            layer = keys[i + 1]
+            if isinstance(layer, int) and layer < cfg.freeze_rwkv_layers:
+                return False
+        if cfg.freeze_rwkv_layers >= n_layer and keys and keys[0] == "rwkv":
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
+def make_optimizer(
+    cfg: TrainConfig,
+    params: Params,
+    total_steps: int,
+    n_layer: int,
+    extra_trainable_mask: Optional[Params] = None,
+) -> optax.GradientTransformation:
+    lr_fn: Callable = lambda step: cosine_warmup_lr(
+        step, cfg.lr_init, cfg.lr_final, cfg.warmup_steps, total_steps
+    )
+    wd_fn: Callable = lambda step: wd_schedule(
+        step, cfg.weight_decay, cfg.weight_decay_final, cfg.warmup_steps, total_steps
+    )
+    wd_mask = weight_decay_mask(params)
+
+    @optax.inject_hyperparams
+    def base(learning_rate, weight_decay):
+        return optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip) if cfg.grad_clip > 0 else optax.identity(),
+            optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2, eps=cfg.adam_eps),
+            optax.add_decayed_weights(weight_decay, mask=wd_mask),
+            optax.scale_by_learning_rate(learning_rate),
+        )
+
+    opt = base(learning_rate=lr_fn, weight_decay=wd_fn)
+
+    mask = trainable_mask(params, cfg, n_layer)
+    if extra_trainable_mask is not None:
+        mask = jax.tree_util.tree_map(
+            lambda a, b: bool(a) and bool(b), mask, extra_trainable_mask
+        )
+    labels = jax.tree_util.tree_map(lambda t: "train" if t else "freeze", mask)
+    return optax.multi_transform({"train": opt, "freeze": optax.set_to_zero()}, labels)
