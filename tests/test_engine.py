@@ -1,0 +1,95 @@
+"""Inference engine tests: O(1)-state greedy decode must match the naive
+O(T^2) full-recompute decode (the reference's generate semantics); stop-token
+masking; multi-round state chaining; image-state cache."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visualrwkv_tpu.config import RWKVConfig, VisionConfig, VLMConfig
+from visualrwkv_tpu.infer.engine import InferenceEngine
+from visualrwkv_tpu.models import rwkv7
+from visualrwkv_tpu.models.visualrwkv import init_visualrwkv_params
+from visualrwkv_tpu.vision.vit import ViTConfig
+
+
+@pytest.fixture(scope="module")
+def setup():
+    tiny_vit = ViTConfig(
+        img_size=16, patch_size=8, width=32, depth=1, heads=2, mlp_dim=64,
+        use_cls=False, num_reg=0, layerscale=False,
+    )
+    cfg = VLMConfig(
+        rwkv=RWKVConfig(
+            n_layer=2, n_embd=64, vocab_size=66000, head_size=32,
+            compute_dtype="float32", ctx_len=256,
+        ),
+        vision=VisionConfig(
+            towers=("dino",), image_size=16, dino_dim=32,
+            tower_config_overrides={"dino": tiny_vit},
+        ),
+        proj_type="linear",
+        num_token_per_image=4,
+    )
+    params = init_visualrwkv_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params, InferenceEngine(params, cfg)
+
+
+def naive_greedy(params, cfg, ids, n_new):
+    """Reference-style generate: full forward per token (src/model.py:496-530)."""
+    ids = jnp.asarray(ids)
+    out = []
+    for _ in range(n_new):
+        logits, _ = rwkv7.rwkv7_forward_tokens(params["rwkv"], cfg.rwkv, ids)
+        nxt = jnp.argmax(logits[:, -1], axis=-1)
+        out.append(int(nxt[0]))
+        ids = jnp.concatenate([ids, nxt[:, None]], axis=1)
+    return out
+
+
+def test_engine_matches_naive_greedy(setup):
+    cfg, params, engine = setup
+    prompt = np.array([[11, 22, 33, 44, 55, 66, 77]])
+    n = 8
+    res = engine.generate(prompt, max_new_tokens=n, stop_tokens=(-1,))
+    want = naive_greedy(params, cfg, prompt, n)
+    assert list(res.tokens[0][:n]) == want
+    assert res.lengths[0] == n
+    assert np.all(np.isfinite(res.logits[0])) and np.all(res.probs[0] > 0)
+
+
+def test_stop_token_masks_tail(setup):
+    cfg, params, engine = setup
+    prompt = np.array([[11, 22, 33]])
+    free = engine.generate(prompt, max_new_tokens=6, stop_tokens=(-1,))
+    stop_at = int(free.tokens[0][2])  # force a stop on the 3rd token
+    res = engine.generate(prompt, max_new_tokens=6, stop_tokens=(stop_at,))
+    assert res.lengths[0] == 3
+    # everything after the stop is the pad/stop filler
+    assert all(int(t) == 261 for t in res.tokens[0][3:])
+
+
+def test_multi_round_state_chaining(setup):
+    cfg, params, engine = setup
+    full = np.array([[11, 22, 33, 44, 55, 66]])
+    logits_full, _ = engine.prefill_ids(full)
+    # round 1 then round 2 continuing from the returned state
+    _, st = engine.prefill_ids(full[:, :2])
+    logits_chained, _ = engine.prefill_ids(full[:, 2:], states=st)
+    np.testing.assert_allclose(
+        np.asarray(logits_chained), np.asarray(logits_full), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_image_state_cache(setup):
+    cfg, params, engine = setup
+    images = {"dino": np.zeros((1, 16, 16, 3), np.uint8)}
+    s1 = engine.compute_image_state(images)
+    s2 = engine.compute_image_state(images)
+    assert s1 is s2  # cache hit by content hash
+    assert len(engine._state_cache) == 1
+    # generation from an image state runs and yields tokens
+    res = engine.generate(np.array([[11, 22]]), states=s1, max_new_tokens=3,
+                          stop_tokens=(-1,))
+    assert res.tokens.shape == (1, 3)

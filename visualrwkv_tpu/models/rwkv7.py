@@ -397,11 +397,18 @@ def rwkv7_forward_tokens(
 def rwkv7_decode_step(
     params: Params, cfg: RWKVConfig, token: Array, states: List[LayerState]
 ) -> Tuple[Array, List[LayerState]]:
-    """One autoregressive step. token: [B] int32 -> (logits [B, vocab], states).
+    """One autoregressive step. token: [B] int32 -> (logits [B, vocab], states)."""
+    return rwkv7_decode_step_embed(params, cfg, embed(params, token), states)
+
+
+def rwkv7_decode_step_embed(
+    params: Params, cfg: RWKVConfig, x_emb: Array, states: List[LayerState]
+) -> Tuple[Array, List[LayerState]]:
+    """One step from an input embedding [B, C] (image-as-state prefill path).
 
     Uses the T=1 WKV step kernel; all per-layer math identical to sequence mode.
     """
-    x = embed(params, token)[:, None, :]  # [B, 1, C]
+    x = x_emb[:, None, :]  # [B, 1, C]
     B = x.shape[0]
     H, N = cfg.n_head, cfg.head_size
     dt = jnp.dtype(cfg.compute_dtype)
