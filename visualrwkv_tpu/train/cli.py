@@ -1,0 +1,218 @@
+"""Training CLI.
+
+Mirrors the reference train.py flag surface (VisualRWKV-v7/v7.00/train.py:16-66)
+over the pjit trainer: two-stage pretrain/finetune are the same invocation with
+different freeze flags and --model_path chaining (stage 1 output feeds stage 2,
+reference scripts/train/*.sh).
+
+``--dummy`` runs the dummy-data smoke (the reference's scripts/train/dummy_run.sh
+integration test): synthesizes a tiny dataset + random images on the fly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+from pathlib import Path
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("visualrwkv_tpu.train")
+    p.add_argument("--data_file", default="", type=str)
+    p.add_argument("--image_folder", default="", type=str)
+    p.add_argument("--proj_dir", default="out", type=str)
+    p.add_argument("--model_path", default="", type=str, help=".pth or orbax dir to load")
+    p.add_argument("--vocab_size", default=65536, type=int)
+    p.add_argument("--n_layer", default=12, type=int)
+    p.add_argument("--n_embd", default=768, type=int)
+    p.add_argument("--ctx_len", default=2048, type=int)
+    p.add_argument("--head_size_a", default=64, type=int)
+    p.add_argument("--proj_type", default="mlp", choices=["linear", "mlp"])
+    p.add_argument("--num_token_per_image", default=1024, type=int)
+    p.add_argument("--vision_towers", default="dino,siglip,sam", type=str)
+    p.add_argument("--image_position", default="first", choices=["first", "middle", "last"])
+    p.add_argument("--micro_bsz", default=2, type=int)
+    p.add_argument("--accumulate_grad_batches", default=1, type=int)
+    p.add_argument("--epoch_steps", default=1000, type=int)
+    p.add_argument("--epoch_count", default=2, type=int)
+    p.add_argument("--epoch_begin", default=0, type=int)
+    p.add_argument("--epoch_save", default=1, type=int)
+    p.add_argument("--lr_init", default=6e-4, type=float)
+    p.add_argument("--lr_final", default=1e-5, type=float)
+    p.add_argument("--warmup_steps", default=-1, type=int)
+    p.add_argument("--beta1", default=0.9, type=float)
+    p.add_argument("--beta2", default=0.99, type=float)
+    p.add_argument("--adam_eps", default=1e-8, type=float)
+    p.add_argument("--weight_decay", default=0.0, type=float)
+    p.add_argument("--weight_decay_final", default=-1.0, type=float)
+    p.add_argument("--grad_cp", default=1, type=int)
+    p.add_argument("--grad_clip", default=1.0, type=float)
+    p.add_argument("--freeze_rwkv", default=0, type=int, help="freeze first N layers")
+    p.add_argument("--freeze_emb", default=0, type=int)
+    p.add_argument("--freeze_proj", default=0, type=int)
+    p.add_argument("--zero_stage", default=1, type=int)
+    p.add_argument("--n_data", default=None, type=int, help="data-parallel mesh size")
+    p.add_argument("--dummy", action="store_true", help="dummy-data smoke run")
+    p.add_argument("--dtype", default="bfloat16", type=str)
+    return p
+
+
+def make_configs(args):
+    from visualrwkv_tpu.config import RWKVConfig, TrainConfig, VisionConfig, VLMConfig
+
+    towers = tuple(t for t in args.vision_towers.split(",") if t)
+    vlm_cfg = VLMConfig(
+        rwkv=RWKVConfig(
+            n_layer=args.n_layer, n_embd=args.n_embd, vocab_size=args.vocab_size,
+            head_size=args.head_size_a, ctx_len=args.ctx_len, compute_dtype=args.dtype,
+        ),
+        vision=VisionConfig(towers=towers),
+        proj_type=args.proj_type,
+        num_token_per_image=args.num_token_per_image,
+        image_position=args.image_position,
+    )
+    tcfg = TrainConfig(
+        lr_init=args.lr_init, lr_final=args.lr_final, warmup_steps=args.warmup_steps,
+        beta1=args.beta1, beta2=args.beta2, adam_eps=args.adam_eps,
+        weight_decay=args.weight_decay, weight_decay_final=args.weight_decay_final,
+        grad_clip=args.grad_clip, micro_bsz=args.micro_bsz,
+        accumulate_grad_batches=args.accumulate_grad_batches,
+        epoch_steps=args.epoch_steps, epoch_count=args.epoch_count,
+        epoch_begin=args.epoch_begin, epoch_save=args.epoch_save,
+        grad_cp=bool(args.grad_cp), freeze_rwkv_layers=args.freeze_rwkv,
+        freeze_emb=bool(args.freeze_emb), freeze_proj=bool(args.freeze_proj),
+        zero_stage=args.zero_stage,
+    )
+    return vlm_cfg, tcfg
+
+
+def make_dummy(args, tmp_dir: Path):
+    """Synthesize a tiny LLaVA-format dataset + images (dummy_run.sh analog)."""
+    from PIL import Image
+
+    img_dir = tmp_dir / "images"
+    img_dir.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(0)
+    records = []
+    for i in range(16):
+        name = f"img_{i}.jpg"
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+            img_dir / name
+        )
+        records.append(
+            {
+                "id": f"dummy_{i}",
+                "image": name,
+                "conversations": [
+                    {"from": "human", "value": f"<image>\nWhat number is this? {i}"},
+                    {"from": "gpt", "value": f"This is number {i}."},
+                ],
+            }
+        )
+    data_file = tmp_dir / "dummy.json"
+    data_file.write_text(json.dumps(records))
+    args.data_file = str(data_file)
+    args.image_folder = str(img_dir)
+    return args
+
+
+def apply_dummy_overrides(args):
+    args.n_layer = 2
+    args.n_embd = 128
+    args.ctx_len = 128
+    args.num_token_per_image = 16
+    args.epoch_steps = 4
+    args.epoch_count = 1
+    args.micro_bsz = 2
+    args.vision_towers = "dino,siglip,sam"
+    return args
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    args = build_argparser().parse_args(argv)
+    os.makedirs(args.proj_dir, exist_ok=True)
+    if args.dummy:
+        args = apply_dummy_overrides(args)
+        args = make_dummy(args, Path(args.proj_dir) / "dummy_data")
+
+    import jax
+
+    from visualrwkv_tpu.data.dataset import (
+        DatasetConfig,
+        VisualRWKVDataset,
+        batches_for_epoch,
+    )
+    from visualrwkv_tpu.data.tokenizer import get_tokenizer
+    from visualrwkv_tpu.models.visualrwkv import init_visualrwkv_params
+    from visualrwkv_tpu.parallel.mesh import make_mesh
+    from visualrwkv_tpu.train.trainer import Trainer
+
+    vlm_cfg, tcfg = make_configs(args)
+    if args.dummy:
+        # tiny towers so the smoke run is fast on any backend
+        from visualrwkv_tpu.vision.sam import SAMConfig
+        from visualrwkv_tpu.vision.vit import ViTConfig
+
+        overrides = {
+            "dino": ViTConfig(img_size=64, patch_size=8, width=64, depth=2, heads=4,
+                              mlp_dim=128, use_cls=True, num_reg=4, layerscale=True),
+            "siglip": ViTConfig(img_size=64, patch_size=8, width=64, depth=2, heads=4,
+                                mlp_dim=128, act="gelu_tanh", use_cls=False),
+            "sam": SAMConfig(img_size=128, patch_size=8, width=64, depth=2, heads=4,
+                             mlp_dim=128, out_chans=32, window_size=4,
+                             global_attn_indexes=(1,)),
+        }
+        vlm_cfg = vlm_cfg.replace(
+            vision=vlm_cfg.vision.__class__(
+                towers=("dino", "siglip", "sam"), image_size=64, sam_image_size=128,
+                dino_dim=64, siglip_dim=64, sam_dim=128,
+                tower_config_overrides=overrides,
+            )
+        )
+
+    tok = get_tokenizer()
+    params = init_visualrwkv_params(jax.random.PRNGKey(0), vlm_cfg)
+    if args.model_path:
+        from visualrwkv_tpu.convert.pth_import import import_rwkv_state_dict, load_pth
+
+        sd = load_pth(args.model_path)
+        params["rwkv"] = jax.tree_util.tree_map(
+            lambda a, b: b, params["rwkv"], import_rwkv_state_dict(sd)
+        )
+        logging.info("loaded RWKV weights from %s", args.model_path)
+
+    mesh = make_mesh(n_data=args.n_data)
+    trainer = Trainer(vlm_cfg, tcfg, params, mesh=mesh, proj_dir=args.proj_dir, log_every=1)
+
+    # reference real_bsz = nodes * devices * micro_bsz (train.py:98); here the
+    # global per-step batch is micro_bsz per data-mesh slot, times grad accum
+    global_bsz = args.micro_bsz * mesh.shape["data"] * args.accumulate_grad_batches
+    ds_cfg = DatasetConfig(
+        data_file=args.data_file, image_folder=args.image_folder,
+        ctx_len=args.ctx_len, num_token_per_image=args.num_token_per_image,
+        epoch_steps=args.epoch_steps, micro_bsz=global_bsz,
+        image_position=args.image_position,
+        towers=tuple(vlm_cfg.vision.towers),
+        tower_sizes={"dino": vlm_cfg.vision.image_size,
+                     "siglip": vlm_cfg.vision.image_size,
+                     "sam": vlm_cfg.vision.sam_image_size},
+    )
+    dataset = VisualRWKVDataset(ds_cfg, tok)
+
+    for epoch in range(args.epoch_begin, args.epoch_begin + args.epoch_count):
+        loss = trainer.run_epoch(batches_for_epoch(dataset, epoch), epoch)
+        logging.info("epoch %d done, loss %.4f", epoch, loss)
+        if (epoch + 1) % args.epoch_save == 0 or epoch == args.epoch_begin + args.epoch_count - 1:
+            path = str(Path(args.proj_dir).absolute() / f"rwkv-{epoch}")
+            trainer.save_checkpoint(path)
+            logging.info("saved checkpoint %s", path)
+    return trainer
+
+
+if __name__ == "__main__":
+    main()
