@@ -1,0 +1,76 @@
+"""Evaluation CLI (reference evaluate.py equivalent).
+
+Shard with --num_chunks/--chunk_idx exactly like the reference's shell fan-out
+(scripts/eval/eval_vqav2.sh); results concatenate downstream.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+
+def build_argparser():
+    p = argparse.ArgumentParser("visualrwkv_tpu.evals")
+    p.add_argument("--model_path", default="", type=str, help=".pth or orbax dir")
+    p.add_argument("--question_file", required=True, type=str)
+    p.add_argument("--image_folder", default=None, type=str)
+    p.add_argument("--output_file", required=True, type=str)
+    p.add_argument("--dataset_name", default="", type=str)
+    p.add_argument("--image_strategy", default="single", choices=["single", "multi", "video"])
+    p.add_argument("--num_chunks", default=1, type=int)
+    p.add_argument("--chunk_idx", default=0, type=int)
+    p.add_argument("--max_new_tokens", default=128, type=int)
+    p.add_argument("--n_layer", default=12, type=int)
+    p.add_argument("--n_embd", default=768, type=int)
+    p.add_argument("--ctx_len", default=2048, type=int)
+    p.add_argument("--vocab_size", default=65536, type=int)
+    p.add_argument("--proj_type", default="mlp", choices=["linear", "mlp"])
+    p.add_argument("--num_token_per_image", default=1024, type=int)
+    p.add_argument("--vision_towers", default="dino,siglip,sam", type=str)
+    return p
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    args = build_argparser().parse_args(argv)
+
+    import jax
+
+    from visualrwkv_tpu.config import RWKVConfig, VisionConfig, VLMConfig
+    from visualrwkv_tpu.data.tokenizer import get_tokenizer
+    from visualrwkv_tpu.evals.loaders import get_chunk, load_questions
+    from visualrwkv_tpu.evals.runner import run_eval
+    from visualrwkv_tpu.infer.engine import InferenceEngine
+    from visualrwkv_tpu.models.visualrwkv import init_visualrwkv_params
+
+    cfg = VLMConfig(
+        rwkv=RWKVConfig(
+            n_layer=args.n_layer, n_embd=args.n_embd, vocab_size=args.vocab_size,
+            ctx_len=args.ctx_len,
+        ),
+        vision=VisionConfig(towers=tuple(args.vision_towers.split(","))),
+        proj_type=args.proj_type,
+        num_token_per_image=args.num_token_per_image,
+    )
+    params = init_visualrwkv_params(jax.random.PRNGKey(0), cfg)
+    if args.model_path.endswith(".pth"):
+        from visualrwkv_tpu.convert.pth_import import import_rwkv_state_dict, load_pth
+
+        sd = load_pth(args.model_path)
+        rwkv_keys = {k: v for k, v in sd.items() if k.startswith(("rwkv.", "blocks.", "emb.", "head.", "ln_out"))}
+        params["rwkv"] = import_rwkv_state_dict(rwkv_keys)
+        logging.info("loaded %d rwkv tensors from %s", len(rwkv_keys), args.model_path)
+
+    engine = InferenceEngine(params, cfg)
+    tok = get_tokenizer()
+    questions = get_chunk(load_questions(args.question_file), args.num_chunks, args.chunk_idx)
+    run_eval(
+        engine, tok, questions, args.image_folder, args.output_file,
+        dataset_name=args.dataset_name, image_strategy=args.image_strategy,
+        max_new_tokens=args.max_new_tokens,
+    )
+
+
+if __name__ == "__main__":
+    main()

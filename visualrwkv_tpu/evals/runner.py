@@ -1,0 +1,159 @@
+"""Benchmark evaluation runner.
+
+The reference's evaluate.py (SURVEY §3.2) decodes one question at a time and
+re-runs the full prefix per generated token.  This runner uses the O(1)-state
+engine with a single jitted decode scan; multi-process sharding is the same
+``--num_chunks/--chunk_idx`` protocol driven by shell fan-out or
+``jax.process_index``.
+
+Output is the reference's self-describing jsonl (question_id / prompt / text /
+avg_logit / geometric-mean avg_prob / model_id / metadata, evaluate.py:218-228),
+so the reference's downstream scorers and submission converters work unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Callable, Dict, Iterable, List, Optional
+
+import numpy as np
+
+from visualrwkv_tpu.config import VLMConfig
+from visualrwkv_tpu.data.conversation import (
+    DEFAULT_STOP_TOKEN,
+    STOP_TOKEN_INDEX,
+    preprocess,
+    process_image_tokens_in_conversations,
+)
+from visualrwkv_tpu.data.dataset import load_image_uint8
+from visualrwkv_tpu.data.tiling import (
+    load_video_frame_paths,
+    sample_video_frames,
+    single_to_multi_images,
+)
+from visualrwkv_tpu.evals.loaders import get_input_text, get_question_id
+from visualrwkv_tpu.infer.engine import InferenceEngine
+
+log = logging.getLogger(__name__)
+
+
+def _pil_to_tower_arrays(images: List, sizes: Dict[str, int]) -> Dict[str, np.ndarray]:
+    from PIL import Image
+
+    out: Dict[str, List[np.ndarray]] = {t: [] for t in sizes}
+    for img in images:
+        for t, size in sizes.items():
+            out[t].append(np.asarray(img.resize((size, size), Image.BICUBIC), np.uint8))
+    return {t: np.stack(v) for t, v in out.items()}
+
+
+def build_image_dict(
+    line: Dict,
+    image_folder: Optional[Path],
+    sizes: Dict[str, int],
+    strategy: str = "single",
+) -> Dict[str, np.ndarray]:
+    """single | multi (tile strategy) | video (uniform frames).
+
+    (reference evaluate.py:80-137)
+    """
+    from PIL import Image
+
+    if strategy == "video":
+        frames = load_video_frame_paths(Path(image_folder) / line["video"])
+        n = line["text"].count("<image>")
+        paths = sample_video_frames(frames, n)
+        images = [Image.open(p).convert("RGB") for p in paths]
+    else:
+        img = Image.open(Path(image_folder) / line["image"]).convert("RGB")
+        images = single_to_multi_images(img) if strategy == "multi" else [img]
+    return _pil_to_tower_arrays(images, sizes)
+
+
+def prepare_question(
+    line: Dict,
+    tokenizer,
+    cfg: VLMConfig,
+    num_images: int,
+    dataset_name: str = "",
+) -> Dict:
+    text = get_input_text(line, num_images, dataset_name)
+    conversations = [
+        {"from": "human", "value": text},
+        {"from": "gpt", "value": ""},
+    ]
+    conversations = process_image_tokens_in_conversations(
+        conversations, num_images, cfg.image_position
+    )
+    return preprocess(
+        conversations,
+        tokenizer,
+        has_image=True,
+        ctx_len=cfg.rwkv.ctx_len,
+        num_token_per_image=cfg.num_token_per_image,
+        do_pad_to_max_length=False,
+    )
+
+
+def run_eval(
+    engine: InferenceEngine,
+    tokenizer,
+    questions: List[Dict],
+    image_folder: Optional[str],
+    output_file: str,
+    dataset_name: str = "",
+    image_strategy: str = "single",
+    max_new_tokens: int = 128,
+    model_id: str = "visualrwkv_tpu",
+    tower_sizes: Optional[Dict[str, int]] = None,
+    progress: bool = True,
+) -> List[Dict]:
+    """Evaluate questions, write the jsonl, return the result records."""
+    cfg = engine.cfg
+    sizes = tower_sizes or {
+        t: (cfg.vision.sam_image_size if t == "sam" else cfg.vision.image_size)
+        for t in cfg.vision.towers
+    }
+    out_path = Path(output_file)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    results = []
+    with open(out_path, "w") as f:
+        for i, line in enumerate(questions):
+            if "image" not in line and "video" not in line:
+                continue
+            idx = get_question_id(line)
+            images = build_image_dict(line, Path(image_folder), sizes, image_strategy)
+            n_img = next(iter(images.values())).shape[0]
+            item = prepare_question(line, tokenizer, cfg, n_img, dataset_name)
+            ids = item["input_ids"][None, :]
+            res = engine.generate(
+                ids,
+                images={k: v for k, v in images.items()},
+                max_new_tokens=max_new_tokens,
+                do_sample=False,
+                stop_tokens=(0, STOP_TOKEN_INDEX),
+            )
+            n = int(res.lengths[0])
+            out_ids = [int(t) for t in res.tokens[0][:n]]
+            text = tokenizer.decode(out_ids).split(DEFAULT_STOP_TOKEN)[0].strip()
+            logits = res.logits[0][: max(n, 1)]
+            probs = res.probs[0][: max(n, 1)]
+            avg_logit = float(np.mean(logits))
+            avg_prob = float(np.prod(probs) ** (1.0 / len(probs)))
+            rec = {
+                "question_id": idx,
+                "prompt": item["input_text"],
+                "text": text,
+                "avg_logit": str(round(avg_logit, 3)),
+                "avg_prob": str(round(avg_prob, 3)),
+                "model_id": model_id,
+                "metadata": {**line.get("metadata", {}), "image_file": line.get("image")},
+            }
+            f.write(json.dumps(rec, ensure_ascii=False) + "\n")
+            f.flush()
+            results.append(rec)
+            if progress and i % 10 == 0:
+                log.info("eval %d/%d", i, len(questions))
+    return results

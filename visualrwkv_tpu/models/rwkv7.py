@@ -127,7 +127,15 @@ def init_rwkv7_params(key: Array, cfg: RWKVConfig) -> Params:
         blocks.append(blk)
     # RWKV convention: tiny-uniform embedding (normalized by ln0 at layer 0)
     emb = _uniform(keys[-2], (cfg.vocab_size, C), -1e-4, 1e-4)
-    head = _ortho(keys[-1], (C, cfg.vocab_size), 0.5)
+    # RWKV convention is an orthogonal head (gain ~0.5); a QR at 65536xC is
+    # prohibitively slow, and for C << vocab a scaled gaussian has the same
+    # row-isometry statistics, so use it beyond a size cutoff.
+    if C * cfg.vocab_size <= 16 * 2**20:
+        head = _ortho(keys[-1], (C, cfg.vocab_size), 0.5)
+    else:
+        head = jax.random.normal(keys[-1], (C, cfg.vocab_size), jnp.float32) * (
+            0.5 * C**-0.5
+        )
     return {
         "emb": {"weight": emb},
         "blocks": blocks,
