@@ -34,12 +34,12 @@ def main():
     tokens = jax.random.randint(jax.random.PRNGKey(1), (B, PREFILL_T), 0, 65000)
 
     @jax.jit
-    def prefill(tokens):
+    def prefill(params, tokens):
         logits, states = rwkv7.rwkv7_forward_tokens(params, cfg, tokens)
         return logits[:, -1], states
 
     @jax.jit
-    def decode(first_logits, states):
+    def decode(params, first_logits, states):
         def body(carry, _):
             logits, st = carry
             tok = jnp.argmax(logits, axis=-1)
@@ -52,14 +52,14 @@ def main():
         return toks, states
 
     # warmup/compile
-    fl, st = jax.block_until_ready(prefill(tokens))
-    toks, _ = jax.block_until_ready(decode(fl, st))
+    fl, st = jax.block_until_ready(prefill(params, tokens))
+    toks, _ = jax.block_until_ready(decode(params, fl, st))
 
     # timed prefill (TTFT component)
     t0 = time.time()
     reps = 5
     for _ in range(reps):
-        fl, st = prefill(tokens)
+        fl, st = prefill(params, tokens)
     jax.block_until_ready((fl, st))
     prefill_s = (time.time() - t0) / reps
 
@@ -67,7 +67,7 @@ def main():
     t0 = time.time()
     reps = 3
     for _ in range(reps):
-        toks, _ = decode(fl, st)
+        toks, _ = decode(params, fl, st)
     jax.block_until_ready(toks)
     decode_s = (time.time() - t0) / reps
 

@@ -104,9 +104,9 @@ def export_rwkv_state_dict(params: Params, prefix: str = "") -> Dict[str, np.nda
             elif path[-1] in (
                 "x_r", "x_w", "x_k", "x_v", "x_a", "x_g",
                 "w0", "a0", "v0", "k_k", "k_a",
-            ) and arr.ndim == 1 and "ffn" not in path:
-                arr = arr.reshape(1, 1, -1)
-            elif path[-1] == "x_k" and "ffn" in path:
+                "time_maa_x", "time_maa_w", "time_maa_k", "time_maa_v",
+                "time_maa_r", "time_maa_g", "time_decay",
+            ) and arr.ndim == 1:
                 arr = arr.reshape(1, 1, -1)
             sd[prefix + key] = arr
 

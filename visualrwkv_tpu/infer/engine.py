@@ -127,23 +127,32 @@ class InferenceEngine:
         self.params = params
         self.cfg = cfg
         self._state_cache: Dict[str, Any] = {}
-        self._prefill = jax.jit(functools.partial(_prefill, params, cfg))
-        self._decode = jax.jit(
-            functools.partial(_decode_loop, params, cfg),
+        # params flow as explicit jit arguments (closure capture would bake
+        # them into the executable as multi-GB constants)
+        self._prefill_p = jax.jit(lambda p, x, st: _prefill(p, cfg, x, st))
+        self._decode_p = jax.jit(
+            lambda p, fl, st, key, sp, max_new_tokens, stop_tokens: _decode_loop(
+                p, cfg, fl, st, key, sp, max_new_tokens, stop_tokens
+            ),
             static_argnames=("sp", "max_new_tokens", "stop_tokens"),
         )
         self._prepare = jax.jit(
-            lambda ids, images: prepare_embeddings(params, cfg, ids, images)
+            lambda p, ids, images: prepare_embeddings(p, cfg, ids, images)
         )
-        self._prepare_text = jax.jit(
-            lambda ids: prepare_embeddings(params, cfg, ids)
+        self._prepare_text = jax.jit(lambda p, ids: prepare_embeddings(p, cfg, ids))
+        self._prefill = lambda x, st: self._prefill_p(self.params, x, st)
+        self._decode = lambda fl, st, key, **kw: self._decode_p(
+            self.params, fl, st, key, **kw
         )
 
     # -- state construction -------------------------------------------------
 
     def prefill_ids(self, input_ids, images=None, states=None):
         ids = jnp.asarray(input_ids)
-        x = self._prepare(ids, images) if images is not None else self._prepare_text(ids)
+        if images is not None:
+            x = self._prepare(self.params, ids, images)
+        else:
+            x = self._prepare_text(self.params, ids)
         return self._prefill(x, states)
 
     def compute_image_state(self, images: Dict[str, np.ndarray], cache_key: Optional[str] = None):
