@@ -1,11 +1,17 @@
 """Headline benchmark: batched O(1) decode throughput of VisualRWKV-7 1B5 on
-one chip (random-init weights in bf16; throughput is weight-bandwidth-bound and
-independent of weight values).
+one chip (random-init weights in bf16; decode is weight-bandwidth-bound so
+throughput is independent of weight values).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline target: >= 2000 decode tokens/sec/chip (BASELINE.json north star).
+
+Measurement notes (remote-TPU "axon" tunnel): per-call dispatch is ~5-20 ms
+and async, so every timed region is forced by fetching a scalar reduced from
+the outputs; parameter init is one jitted program (eager init would issue
+thousands of tunnel round-trips).
 """
 
+import functools
 import json
 import time
 
@@ -22,21 +28,23 @@ def main():
         n_layer=24, n_embd=2048, vocab_size=65536, head_size=64,
         compute_dtype="bfloat16", ctx_len=2048,
     )
-    key = jax.random.PRNGKey(0)
-    params = rwkv7.init_rwkv7_params(key, cfg)
-    # serve in bf16 (weights dominate decode HBM traffic)
-    params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+    init = jax.jit(functools.partial(rwkv7.init_rwkv7_params, cfg=cfg))
+    params = jax.jit(
+        lambda p: jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), p)
+    )(init(jax.random.PRNGKey(0)))
 
-    B = 8
-    PREFILL_T = 512
-    DECODE_T = 256
+    B = 32
+    PREFILL_B, PREFILL_T = 8, 512
+    DECODE_T = 128
 
-    tokens = jax.random.randint(jax.random.PRNGKey(1), (B, PREFILL_T), 0, 65000)
+    tokens = jax.random.randint(
+        jax.random.PRNGKey(1), (PREFILL_B, PREFILL_T), 0, 65000
+    )
 
     @jax.jit
     def prefill(params, tokens):
         logits, states = rwkv7.rwkv7_forward_tokens(params, cfg, tokens)
-        return logits[:, -1], states
+        return jnp.sum(logits[:, -1].astype(jnp.float32)), logits[:, -1], states
 
     @jax.jit
     def decode(params, first_logits, states):
@@ -44,43 +52,45 @@ def main():
             logits, st = carry
             tok = jnp.argmax(logits, axis=-1)
             logits, st = rwkv7.rwkv7_decode_step(params, cfg, tok, st)
-            return (logits, st), tok
+            return (logits.astype(jnp.float32), st), tok
 
         (_, states), toks = jax.lax.scan(
             body, (first_logits, states), None, length=DECODE_T
         )
-        return toks, states
+        return jnp.sum(toks), toks
 
-    # warmup/compile
-    fl, st = jax.block_until_ready(prefill(params, tokens))
-    toks, _ = jax.block_until_ready(decode(params, fl, st))
+    # warmup/compile (scalar fetch forces completion through the async tunnel)
+    s, fl, st = prefill(params, tokens)
+    float(s)
+    fl32 = jnp.zeros((B, cfg.vocab_size), jnp.float32)
+    st32 = rwkv7.init_state(cfg, B)
+    ssum, _ = decode(params, fl32, st32)
+    int(ssum)
 
-    # timed prefill (TTFT component)
     t0 = time.time()
     reps = 5
     for _ in range(reps):
-        fl, st = prefill(params, tokens)
-    jax.block_until_ready((fl, st))
+        s, fl, st = prefill(params, tokens)
+    float(s)
     prefill_s = (time.time() - t0) / reps
 
-    # timed decode
     t0 = time.time()
     reps = 3
     for _ in range(reps):
-        toks, _ = decode(params, fl, st)
-    jax.block_until_ready(toks)
+        ssum, _ = decode(params, fl32, st32)
+    int(ssum)
     decode_s = (time.time() - t0) / reps
 
     tok_per_s = B * DECODE_T / decode_s
     baseline = 2000.0
     result = {
-        "metric": "decode_tokens_per_sec_per_chip_1B5_bf16_B8",
+        "metric": "decode_tokens_per_sec_per_chip_1B5_bf16_B32",
         "value": round(tok_per_s, 1),
         "unit": "tokens/s/chip",
         "vs_baseline": round(tok_per_s / baseline, 3),
         "extra": {
-            "prefill_512tok_B8_ms": round(prefill_s * 1e3, 1),
-            "decode_ms_per_step": round(decode_s / DECODE_T * 1e3, 3),
+            "prefill_tok_per_s_B8_T512": round(PREFILL_B * PREFILL_T / prefill_s, 1),
+            "decode_ms_per_step_B32": round(decode_s / DECODE_T * 1e3, 3),
             "device": str(jax.devices()[0]),
         },
     }
