@@ -31,7 +31,7 @@ from visualrwkv_tpu.infer.sampling import (
     sample_logits,
     update_occurrence,
 )
-from visualrwkv_tpu.models import rwkv7
+from visualrwkv_tpu.models import lm, rwkv7
 from visualrwkv_tpu.models.visualrwkv import prepare_embeddings
 
 Array = jax.Array
@@ -53,14 +53,14 @@ def _prefill(params, cfg: VLMConfig, x_emb, states):
     """
     rcfg = cfg.rwkv
     if states is None:
-        logits, states = rwkv7.rwkv7_forward(params["rwkv"], rcfg, x_emb)
+        logits, states = lm.lm_forward(params["rwkv"], rcfg, x_emb)
         return logits[:, -1], states
 
     T = x_emb.shape[1]
     bulk = T - T % rcfg.chunk_len
     last_logits = None
     if bulk:
-        logits, states = rwkv7.rwkv7_forward(
+        logits, states = lm.lm_forward(
             params["rwkv"], rcfg, x_emb[:, :bulk], states=states
         )
         last_logits = logits[:, -1]
@@ -68,7 +68,7 @@ def _prefill(params, cfg: VLMConfig, x_emb, states):
         xs = jnp.moveaxis(x_emb[:, bulk:], 1, 0)
 
         def body(st, x):
-            logits, st = rwkv7.rwkv7_decode_step_embed(params["rwkv"], rcfg, x, st)
+            logits, st = lm.lm_decode_step_embed(params["rwkv"], rcfg, x, st)
             return st, logits
 
         states, step_logits = jax.lax.scan(body, states, xs)
@@ -99,7 +99,7 @@ def _decode_loop(params, cfg: VLMConfig, first_logits, states, key, sp: Sampling
         occurrence = update_occurrence(occurrence, token, sp)
         now_stopped = jnp.any(token[:, None] == stop[None, :], axis=-1)
         new_finished = finished | now_stopped
-        next_logits, new_states = rwkv7.rwkv7_decode_step(
+        next_logits, new_states = lm.lm_decode_step(
             params["rwkv"], rcfg, token, states
         )
         # freeze state for finished rows

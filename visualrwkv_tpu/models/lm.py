@@ -1,0 +1,82 @@
+"""Version-dispatch facade over the RWKV language model families.
+
+The reference is a version-snapshot monorepo (one codebase per model
+generation); here every generation is a config (``RWKVConfig.version``):
+"x070" (RWKV-7, flagship) and "x060" (RWKV-6, the published-paper backbone;
+also serves v5-style checkpoints through the same diagonal-decay kernel).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+
+from visualrwkv_tpu.config import RWKVConfig
+from visualrwkv_tpu.models import rwkv6, rwkv7
+from visualrwkv_tpu.models.rwkv7 import LayerState, embed, init_state  # noqa: F401
+
+Array = jax.Array
+Params = Dict[str, Any]
+
+
+def init_lm_params(key: Array, cfg: RWKVConfig) -> Params:
+    if cfg.version == "x070":
+        return rwkv7.init_rwkv7_params(key, cfg)
+    if cfg.version == "x060":
+        return rwkv6.init_rwkv6_params(key, cfg)
+    raise ValueError(f"unknown RWKV version {cfg.version}")
+
+
+def lm_forward(
+    params: Params,
+    cfg: RWKVConfig,
+    x: Array,
+    states: Optional[List[LayerState]] = None,
+    grad_cp: bool = False,
+    return_hidden: bool = False,
+) -> Tuple[Array, List[LayerState]]:
+    if cfg.version == "x070":
+        return rwkv7.rwkv7_forward(params, cfg, x, states, grad_cp, return_hidden)
+    if cfg.version == "x060":
+        return rwkv6.rwkv6_forward(params, cfg, x, states, grad_cp, return_hidden)
+    raise ValueError(f"unknown RWKV version {cfg.version}")
+
+
+def lm_forward_tokens(params, cfg, tokens, states=None, grad_cp=False):
+    return lm_forward(params, cfg, embed(params, tokens), states, grad_cp)
+
+
+def lm_decode_step(params, cfg, token, states):
+    if cfg.version == "x070":
+        return rwkv7.rwkv7_decode_step(params, cfg, token, states)
+    if cfg.version == "x060":
+        return rwkv6.rwkv6_decode_step(params, cfg, token, states)
+    raise ValueError(f"unknown RWKV version {cfg.version}")
+
+
+def lm_decode_step_embed(params, cfg, x_emb, states):
+    if cfg.version == "x070":
+        return rwkv7.rwkv7_decode_step_embed(params, cfg, x_emb, states)
+    if cfg.version == "x060":
+        return rwkv6.rwkv6_decode_step_embed(params, cfg, x_emb, states)
+    raise ValueError(f"unknown RWKV version {cfg.version}")
+
+
+def lm_block_forward(
+    params: Params,
+    cfg: RWKVConfig,
+    layer_id: int,
+    x: Array,
+    v_first: Optional[Array],
+    state: Optional[LayerState] = None,
+):
+    """Single-block forward (used by the bidirectional image path and the
+    visual token compressor). Returns (x, v_first, state); v_first is unused
+    (passed through) for x060."""
+    if cfg.version == "x070":
+        return rwkv7.block_x070(params, cfg, layer_id, x, v_first, state)
+    if cfg.version == "x060":
+        x, st = rwkv6.block_x060(params, cfg, layer_id, x, state)
+        return x, v_first, st
+    raise ValueError(f"unknown RWKV version {cfg.version}")

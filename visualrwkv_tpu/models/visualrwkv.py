@@ -14,8 +14,8 @@ import jax
 import jax.numpy as jnp
 
 from visualrwkv_tpu.config import VLMConfig
-from visualrwkv_tpu.data.conversation import IGNORE_INDEX
-from visualrwkv_tpu.models import rwkv7
+from visualrwkv_tpu.data.conversation import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+from visualrwkv_tpu.models import lm, rwkv7
 from visualrwkv_tpu.multimodal.projector import (
     adaptive_pool_tokens,
     apply_projector,
@@ -31,7 +31,7 @@ Params = Dict[str, Any]
 def init_visualrwkv_params(key: Array, cfg: VLMConfig) -> Params:
     k1, k2, k3 = jax.random.split(key, 3)
     return {
-        "rwkv": rwkv7.init_rwkv7_params(k1, cfg.rwkv),
+        "rwkv": lm.init_lm_params(k1, cfg.rwkv),
         "vit": init_backbone_params(k2, cfg.vision, cfg.rwkv.compute_dtype),
         "proj": init_projector_params(
             k3, cfg.proj_type, cfg.vision.embed_dim, cfg.rwkv.n_embd
@@ -76,6 +76,69 @@ def prepare_embeddings(
     return scatter_image_features(input_ids, input_embeds, image_features)
 
 
+def image_token_span(input_ids: Array) -> Array:
+    """Position of the first image token per batch row (0 when absent)."""
+    mask = input_ids == IMAGE_TOKEN_INDEX
+    return jnp.argmax(mask, axis=-1)
+
+
+def _flip_span(x: Array, start: Array, length: int) -> Array:
+    """Reverse x[:, start:start+length] (static length, traced start)."""
+    span = jax.lax.dynamic_slice_in_dim(x, start, length, axis=1)
+    return jax.lax.dynamic_update_slice_in_dim(
+        x, jnp.flip(span, axis=1), start, axis=1
+    )
+
+
+def bidirectional_forward(
+    params: Params,
+    cfg: VLMConfig,
+    x: Array,
+    img_start: Array,
+    img_len: int,
+    grad_cp: bool = False,
+) -> Array:
+    """Odd layers see the image-token span reversed (v6.0/HD/UHD
+    bidirectional image scanning, v6.0/src/model.py:408-431).
+
+    ``img_start`` is a traced scalar (same span across the batch — the
+    reference aligns spans via left padding); ``img_len`` is static.
+    """
+    rcfg = cfg.rwkv
+    B, T, C = x.shape
+    pad = (-T) % rcfg.chunk_len
+    if pad:
+        eos = lm.embed(
+            params["rwkv"], jnp.full((B, pad), rwkv7.STOP_TOKEN_INDEX, jnp.int32)
+        )
+        x = jnp.concatenate([eos.astype(x.dtype), x], axis=1)
+    start = img_start + pad
+
+    v_first = None
+    n_layers = len(params["rwkv"]["blocks"])
+    for i in range(n_layers):
+        blk = params["rwkv"]["blocks"][i]
+        reverse = i % 2 == 1
+        if reverse:
+            x = _flip_span(x, start, img_len)
+        if grad_cp:
+            fn = jax.checkpoint(
+                lambda p, xx, vf, i=i: lm.lm_block_forward(p, rcfg, i, xx, vf)
+            )
+            x, v_first, _ = fn(blk, x, v_first)
+        else:
+            x, v_first, _ = lm.lm_block_forward(blk, rcfg, i, x, v_first)
+        if reverse:
+            x = _flip_span(x, start, img_len)
+
+    from visualrwkv_tpu.models.rwkv7 import layer_norm, linear
+
+    x = layer_norm(params["rwkv"]["ln_out"], x)
+    if pad:
+        x = x[:, pad:]
+    return linear(params["rwkv"]["head"], x, jnp.dtype(rcfg.compute_dtype))
+
+
 def vlm_forward(
     params: Params,
     cfg: VLMConfig,
@@ -84,7 +147,12 @@ def vlm_forward(
     grad_cp: bool = False,
 ) -> Array:
     x = prepare_embeddings(params, cfg, input_ids, images)
-    logits, _ = rwkv7.rwkv7_forward(params["rwkv"], cfg.rwkv, x, grad_cp=grad_cp)
+    if cfg.bidirectional_image and images is not None:
+        start = image_token_span(input_ids)[0]
+        return bidirectional_forward(
+            params, cfg, x, start, cfg.num_token_per_image, grad_cp
+        )
+    logits, _ = lm.lm_forward(params["rwkv"], cfg.rwkv, x, grad_cp=grad_cp)
     return logits
 
 

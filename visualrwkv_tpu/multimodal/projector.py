@@ -81,6 +81,32 @@ def adaptive_pool_tokens(x: Array, num_tokens: int) -> Array:
     return xf.mean(axis=(2, 4)).reshape(N, num_tokens, D).astype(x.dtype)
 
 
+def grid_pooling(image_features: Array, grid_size: int) -> Array:
+    """CLIP-style pooling with a CLS token at position 0 (v5/v6.0 grid pooling,
+    v6.0/src/model.py:467-485 and the demo's modeling_vision.py:30-48).
+
+    grid_size: -1 = no pooling (patches + cls appended), 0 = cls only,
+    1 = global avg + cls, N = NxN average pooling + cls.
+    """
+    cls_features = image_features[:, 0:1]
+    patches = image_features[:, 1:]
+    if grid_size == -1:
+        return jnp.concatenate([patches, cls_features], axis=1)
+    if grid_size == 0:
+        return cls_features
+    if grid_size == 1:
+        return jnp.concatenate(
+            [patches.mean(axis=1, keepdims=True), cls_features], axis=1
+        )
+    B, L, D = patches.shape
+    hw = int(round(L**0.5))
+    assert hw * hw == L and hw % grid_size == 0, (L, grid_size)
+    stride = hw // grid_size
+    xf = patches.astype(jnp.float32).reshape(B, grid_size, stride, grid_size, stride, D)
+    pooled = xf.mean(axis=(2, 4)).reshape(B, grid_size * grid_size, D)
+    return jnp.concatenate([pooled.astype(image_features.dtype), cls_features], axis=1)
+
+
 def scatter_image_features(
     input_ids: Array, input_embeds: Array, image_features: Array
 ) -> Array:
