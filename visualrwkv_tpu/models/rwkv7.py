@@ -194,9 +194,11 @@ def group_norm(p: Params, x: Array, num_groups: int, eps: float) -> Array:
 
 
 def linear(p: Params, x: Array, dtype: jnp.dtype) -> Array:
-    return jnp.matmul(
-        x.astype(dtype), p["weight"].astype(dtype), preferred_element_type=jnp.float32
-    )
+    if "weight_q" in p:  # int8 weight-only quantization (infer.quant)
+        w = (p["weight_q"].astype(jnp.float32) * p["scale"]).astype(dtype)
+    else:
+        w = p["weight"].astype(dtype)
+    return jnp.matmul(x.astype(dtype), w, preferred_element_type=jnp.float32)
 
 
 def _token_shift(x: Array, shift_state: Optional[Array]) -> Array:
