@@ -1,0 +1,29 @@
+"""Pallas WKV7 forward parity (interpret mode on CPU) vs the golden scan."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visualrwkv_tpu.ops.wkv7 import wkv7_reference
+from visualrwkv_tpu.ops.wkv7_pallas import wkv7_pallas
+
+from test_wkv7 import make_inputs, rel_err  # noqa: E402
+
+
+@pytest.mark.parametrize("chunk", [16, 32])
+def test_pallas_matches_reference(chunk):
+    inputs = make_inputs(jax.random.PRNGKey(0), B=2, T=64, H=3, N=16)
+    y_ref, s_ref = wkv7_reference(*inputs)
+    y_pal, s_pal = wkv7_pallas(*inputs, chunk=chunk)
+    assert rel_err(y_pal, y_ref) < 1e-5
+    assert rel_err(s_pal, s_ref) < 1e-5
+
+
+def test_pallas_with_initial_state():
+    inputs = make_inputs(jax.random.PRNGKey(1), B=1, T=32, H=2, N=8)
+    s0 = jax.random.normal(jax.random.PRNGKey(7), (1, 2, 8, 8), jnp.float32)
+    y_ref, s_ref = wkv7_reference(*inputs, initial_state=s0)
+    y_pal, s_pal = wkv7_pallas(*inputs, initial_state=s0, chunk=16)
+    assert rel_err(y_pal, y_ref) < 1e-5
+    assert rel_err(s_pal, s_ref) < 1e-5

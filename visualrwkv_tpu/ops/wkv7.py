@@ -153,6 +153,10 @@ def wkv7_chunked(
 
     Same signature/semantics as :func:`wkv7_reference`; differentiable via JAX
     autodiff (the whole graph is jnp matmuls + a short scan over chunk states).
+
+    The op is HBM-bound on its decay-adjusted intermediates; they are stored in
+    the input dtype (bf16 in production) — the MXU computes in bf16 anyway —
+    while cumulative-decay exponentials and the carried state stay fp32.
     """
     _validate(r, w_raw, k, v, a, b)
     B, T, H, N = r.shape
@@ -161,6 +165,8 @@ def wkv7_chunked(
     L = chunk
     nc = T // L
     f32 = jnp.float32
+    # intermediate storage dtype: inputs' dtype (bf16 halves HBM traffic)
+    idt = r.dtype if r.dtype in (jnp.bfloat16, jnp.float32) else f32
 
     if initial_state is None:
         z0 = jnp.zeros((B, H, N, N), f32)
@@ -169,24 +175,27 @@ def wkv7_chunked(
         z0 = jnp.swapaxes(initial_state.astype(f32), -1, -2)
 
     # [B, T, H, N] -> [B, H, nc, L, N]
-    def chunked(x):
-        x = x.astype(f32)
+    def chunked(x, dt=f32):
+        x = x.astype(dt)
         x = jnp.transpose(x, (0, 2, 1, 3))  # B H T N
         return x.reshape(B, H, nc, L, N)
 
-    rc, wc, kc, vc, ac, bc = (chunked(x) for x in (r, w_raw, k, v, a, b))
+    rc, kc, ac, bc = (chunked(x, idt) for x in (r, k, a, b))
+    vc = chunked(v, idt)
+    wc = chunked(w_raw, f32)
 
     logw = -jnp.exp(wc)  # log of per-step decay, <= 0
-    g = jnp.cumsum(logw, axis=-2)  # inclusive cumsum over L
+    g = jnp.cumsum(logw, axis=-2)  # inclusive cumsum over L (fp32)
     g_prev = g - logw  # exclusive cumsum
     g_last = g[..., -1:, :]  # [B,H,nc,1,N]
 
-    a_t = ac * jnp.exp(g_prev)
-    b_h = bc * jnp.exp(-g)
-    k_h = kc * jnp.exp(-g)
-    r_t = rc * jnp.exp(g)
-    b_bar = bc * jnp.exp(g_last - g)
-    k_bar = kc * jnp.exp(g_last - g)
+    cast = lambda x: x.astype(idt)
+    a_t = cast(ac * jnp.exp(g_prev).astype(idt))
+    b_h = cast(bc * jnp.exp(-g).astype(idt))
+    k_h = cast(kc * jnp.exp(-g).astype(idt))
+    r_t = cast(rc * jnp.exp(g).astype(idt))
+    b_bar = cast(bc * jnp.exp(g_last - g).astype(idt))
+    k_bar = cast(kc * jnp.exp(g_last - g).astype(idt))
 
     mm = functools.partial(jnp.matmul, preferred_element_type=f32)
     tt = lambda x: jnp.swapaxes(x, -1, -2)
@@ -194,25 +203,25 @@ def wkv7_chunked(
     strict = jnp.tril(jnp.ones((L, L), f32), -1)
     incl = jnp.tril(jnp.ones((L, L), f32))
 
-    m_mat = mm(a_t, tt(b_h)) * strict  # [.., L, L]
+    m_mat = mm(a_t, tt(b_h)) * strict  # [.., L, L] fp32
     n_mat = mm(a_t, tt(k_h)) * strict
-    t_inv = _tri_inverse_unit_lower(m_mat)
+    t_inv = _tri_inverse_unit_lower(m_mat).astype(idt)
 
-    u0 = mm(t_inv, mm(n_mat, vc))  # [.., L, Nv] chunk-local "sa" part
-    ta = mm(t_inv, a_t)  # [.., L, Nk]
-    sb = mm(r_t, tt(b_h)) * incl  # [.., L, L]
-    sk = mm(r_t, tt(k_h)) * incl
+    u0 = mm(t_inv, mm(n_mat.astype(idt), vc).astype(idt)).astype(idt)  # [.., L, Nv]
+    ta = mm(t_inv, a_t).astype(idt)  # [.., L, Nk]
+    sb = (mm(r_t, tt(b_h)) * incl).astype(idt)  # [.., L, L]
+    sk = (mm(r_t, tt(k_h)) * incl).astype(idt)
 
-    q_eff = r_t + mm(sb, ta)  # [.., L, Nk]
-    y_loc = mm(sb, u0) + mm(sk, vc)  # [.., L, Nv]
-    bta = mm(tt(b_bar), ta)  # [.., Nk, Nk]
-    h_loc = mm(tt(b_bar), u0) + mm(tt(k_bar), vc)  # [.., Nk, Nv]
-    p_last = jnp.exp(g_last)  # [.., 1, N]
+    q_eff = (r_t.astype(f32) + mm(sb, ta)).astype(idt)  # [.., L, Nk]
+    y_loc = (mm(sb, u0) + mm(sk, vc)).astype(idt)  # [.., L, Nv]
+    bta = mm(tt(b_bar), ta).astype(idt)  # [.., Nk, Nk]
+    h_loc = (mm(tt(b_bar), u0) + mm(tt(k_bar), vc)).astype(idt)  # [.., Nk, Nv]
+    p_last = jnp.exp(g_last)  # [.., 1, N] fp32
 
     # scan over chunks: Y_c = q_eff_c @ Z + y_loc_c ; Z <- pL*Z + bta_c @ Z + h_loc_c
     def scan_chunk(z, inputs):
         q_c, yl_c, bta_c, hl_c, pl_c = inputs
-        y_c = mm(q_c, z) + yl_c
+        y_c = (mm(q_c, z) + yl_c).astype(idt)
         z = pl_c.reshape(B, H, N, 1) * z + mm(bta_c, z) + hl_c
         return z, y_c
 
@@ -226,6 +235,58 @@ def wkv7_chunked(
     return y.astype(r.dtype), jnp.swapaxes(z_final, -1, -2)
 
 
+# ---------------------------------------------------------------------------
+# Dispatching entry point: fused Pallas forward on TPU, jnp-chunked gradients
+# ---------------------------------------------------------------------------
+
+_IMPL_MODE = "auto"  # "auto" | "pallas" | "chunked"
+
+
+def set_wkv_impl(mode: str) -> None:
+    """Select the forward implementation ("auto" uses Pallas on TPU)."""
+    global _IMPL_MODE
+    assert mode in ("auto", "pallas", "chunked"), mode
+    _IMPL_MODE = mode
+
+
+def _select_forward(chunk, r, w_raw, k, v, a, b, initial_state):
+    T = r.shape[1]
+    use_pallas = _IMPL_MODE == "pallas" or (
+        _IMPL_MODE == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        from visualrwkv_tpu.ops.wkv7_pallas import wkv7_pallas
+
+        # largest supported chunk dividing T (semantics are chunk-invariant)
+        for c in (128, 64, 32, 16):
+            if T % c == 0:
+                return wkv7_pallas(r, w_raw, k, v, a, b, initial_state, chunk=c)
+    return wkv7_chunked(r, w_raw, k, v, a, b, initial_state, chunk=chunk)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _wkv7_dispatch(chunk, r, w_raw, k, v, a, b, initial_state):
+    return _select_forward(chunk, r, w_raw, k, v, a, b, initial_state)
+
+
+def _wkv7_fwd(chunk, r, w_raw, k, v, a, b, initial_state):
+    out = _select_forward(chunk, r, w_raw, k, v, a, b, initial_state)
+    return out, (r, w_raw, k, v, a, b, initial_state)
+
+
+def _wkv7_bwd(chunk, residuals, cotangents):
+    # gradients via the differentiable jnp chunked path (same math; the
+    # forward value difference is bf16-level rounding)
+    _, vjp = jax.vjp(
+        lambda r, w, k, v, a, b, s: wkv7_chunked(r, w, k, v, a, b, s, chunk=chunk),
+        *residuals,
+    )
+    return vjp(cotangents)
+
+
+_wkv7_dispatch.defvjp(_wkv7_fwd, _wkv7_bwd)
+
+
 def wkv7(
     r: Array,
     w_raw: Array,
@@ -236,5 +297,6 @@ def wkv7(
     initial_state: Optional[Array] = None,
     chunk: int = DEFAULT_CHUNK,
 ) -> Tuple[Array, Array]:
-    """Dispatching entry point used by the models (chunked implementation)."""
-    return wkv7_chunked(r, w_raw, k, v, a, b, initial_state, chunk=chunk)
+    """Entry point used by the models: Pallas-fused forward on TPU ("auto"),
+    jnp chunked elsewhere and for all gradients."""
+    return _wkv7_dispatch(chunk, r, w_raw, k, v, a, b, initial_state)

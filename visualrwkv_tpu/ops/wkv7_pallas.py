@@ -1,0 +1,163 @@
+"""Fused Pallas TPU kernel for the chunked WKV7 forward.
+
+The jnp chunked implementation (wkv7.py) materializes ~6 decay-adjusted
+intermediates per chunk in HBM; this kernel fuses the whole per-chunk pipeline
+in VMEM.  Per (batch*head) the sequence's chunks run as the inner grid
+dimension with the fp32 state Z = S^T carried in a VMEM scratch across grid
+steps (TPU grid iteration is sequential), so HBM traffic is exactly: read
+r/w/k/v/a/b once (bf16), write y once, plus one [N,N] state in/out.
+
+Forward-only: training uses the differentiable jnp path; this kernel serves
+prefill/inference (selected automatically in ops.wkv7.wkv7 when not tracing
+a gradient — callers pass impl="pallas").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+DEFAULT_CHUNK = 64
+
+
+def _tri_inverse(m_strict: Array, L: int) -> Array:
+    """(I - M)^{-1} for strictly-lower-triangular M via the nilpotent doubling
+    identity — all full-size matmuls, which Mosaic schedules better than a
+    block-recursive inversion (measured: recursion's concats/slices lose more
+    to lane shuffles than they save in FLOPs)."""
+    eye = jnp.eye(L, dtype=jnp.float32)
+    t = eye + m_strict
+    p = m_strict
+    steps = max(0, (L - 1).bit_length() - 1)
+    for _ in range(steps):
+        p = jnp.dot(p, p, preferred_element_type=jnp.float32)
+        t = jnp.dot(t, eye + p, preferred_element_type=jnp.float32)
+    return t
+
+
+def _wkv7_kernel(init_ref, r_ref, w_ref, k_ref, v_ref, a_ref, b_ref,
+                 y_ref, s_out_ref, z_scratch, *, L: int, nc: int, G: int,
+                 mxu_dtype):
+    c = pl.program_id(1)
+    f32 = jnp.float32
+
+    @pl.when(c == 0)
+    def _():
+        z_scratch[:] = init_ref[:]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    cum = (cols <= rows).astype(f32)  # cumsum-as-matmul (no Mosaic cumsum)
+    strict = (cols < rows).astype(f32)
+    incl = cum
+
+    dot = functools.partial(jnp.dot, preferred_element_type=f32)
+
+    # G heads per program, unrolled: amortizes grid-step overhead.
+    # For bf16 inputs, MXU dots take bf16 operands with fp32 accumulation (the
+    # reference CUDA kernel's precision model); fp32 inputs keep fp32 dots.
+    bf = mxu_dtype
+    for gi in range(G):
+        r = r_ref[gi].astype(f32)
+        w = w_ref[gi].astype(f32)
+        k = k_ref[gi].astype(f32)
+        v = v_ref[gi].astype(bf)
+        a = a_ref[gi].astype(f32)
+        b = b_ref[gi].astype(f32)
+
+        logw = -jnp.exp(w)  # [L, N]
+        g = dot(cum, logw)  # cumulative log-decay stays fp32
+        g_prev = g - logw
+        g_last = g[-1:, :]
+
+        a_t = (a * jnp.exp(g_prev)).astype(bf)
+        b_h = (b * jnp.exp(-g)).astype(bf)
+        k_h = (k * jnp.exp(-g)).astype(bf)
+        r_t = (r * jnp.exp(g)).astype(bf)
+        decay_to_end = jnp.exp(g_last - g)
+        b_bar = (b * decay_to_end).astype(bf)
+        k_bar = (k * decay_to_end).astype(bf)
+
+        m_mat = dot(a_t, b_h.T) * strict
+        n_mat = dot(a_t, k_h.T) * strict
+        t_inv = _tri_inverse(m_mat, L).astype(bf)
+
+        z = z_scratch[gi]  # [N_k, N_v] fp32
+        zb = z.astype(bf)
+        u = dot(t_inv, (dot(n_mat.astype(bf), v) + dot(a_t, zb)).astype(bf))  # [L, N_v]
+        sb = (dot(r_t, b_h.T) * incl).astype(bf)
+        sk = (dot(r_t, k_h.T) * incl).astype(bf)
+        ub = u.astype(bf)
+        y = dot(r_t, zb) + dot(sb, ub) + dot(sk, v)
+        y_ref[gi] = y.astype(y_ref.dtype)
+
+        z = jnp.exp(g_last).T * z + dot(b_bar.T, ub) + dot(k_bar.T, v)
+        z_scratch[gi] = z
+
+        @pl.when(c == nc - 1)
+        def _():
+            s_out_ref[gi] = z
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def wkv7_pallas(
+    r: Array,
+    w_raw: Array,
+    k: Array,
+    v: Array,
+    a: Array,
+    b: Array,
+    initial_state: Optional[Array] = None,
+    chunk: int = DEFAULT_CHUNK,
+) -> Tuple[Array, Array]:
+    """Fused forward. Same semantics as wkv7_chunked; T % chunk == 0."""
+    B, T, H, N = r.shape
+    if T % chunk != 0:
+        raise ValueError(f"T={T} must be a multiple of chunk={chunk}")
+    L = chunk
+    nc = T // L
+    BH = B * H
+
+    def flat(x):
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(BH, T, N)
+
+    rf, wf, kf, vf, af, bf = (flat(x) for x in (r, w_raw, k, v, a, b))
+    if initial_state is None:
+        z0 = jnp.zeros((BH, N, N), jnp.float32)
+    else:
+        z0 = jnp.swapaxes(initial_state.astype(jnp.float32), -1, -2).reshape(BH, N, N)
+
+    # heads-per-program: amortize grid-step overhead (VMEM: G*(6*L*N*2 + N*N*4))
+    G = 1
+    for cand in (8, 4, 2):
+        if BH % cand == 0:
+            G = cand
+            break
+
+    in_spec = pl.BlockSpec((G, L, N), lambda bh, c: (bh, c, 0), memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((G, N, N), lambda bh, c: (bh, 0, 0), memory_space=pltpu.VMEM)
+
+    mxu_dtype = jnp.bfloat16 if r.dtype == jnp.bfloat16 else jnp.float32
+    y, s_out = pl.pallas_call(
+        functools.partial(_wkv7_kernel, L=L, nc=nc, G=G, mxu_dtype=mxu_dtype),
+        grid=(BH // G, nc),
+        in_specs=[state_spec] + [in_spec] * 6,
+        out_specs=(in_spec, state_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, T, N), r.dtype),
+            jax.ShapeDtypeStruct((BH, N, N), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((G, N, N), jnp.float32)],
+        interpret=jax.default_backend() == "cpu",
+    )(z0, rf, wf, kf, vf, af, bf)
+
+    y = jnp.transpose(y.reshape(B, H, T, N), (0, 2, 1, 3))
+    final_state = jnp.swapaxes(s_out.reshape(B, H, N, N), -1, -2)
+    return y, final_state
