@@ -1,0 +1,44 @@
+"""Tests: native C++ tokenizer parity, strategy-string DSL."""
+
+import shutil
+
+import jax.numpy as jnp
+import pytest
+
+from visualrwkv_tpu.data.tokenizer import WorldTokenizer
+from visualrwkv_tpu.infer.strategy import Strategy, apply_strategy, parse_strategy
+
+
+@pytest.mark.skipif(shutil.which("g++") is None, reason="no C++ compiler")
+def test_native_tokenizer_parity():
+    native = WorldTokenizer(use_native="always")
+    pure = WorldTokenizer(use_native="never")
+    cases = [
+        "User: What is in this image?\n\nAssistant: A cat.\n\n",
+        "中文 🙂 mixed", "\x00\x01 bytes", "", "  \n\n\n  ",
+    ]
+    for c in cases:
+        assert native.encode(c) == pure.encode(c), c
+        assert native.decode(native.encode(c)) == c or c == ""
+
+
+def test_parse_strategy():
+    s = parse_strategy("tpu bf16")
+    assert s.device == "tpu" and s.compute_dtype == jnp.bfloat16 and not s.int8_weights
+    s = parse_strategy("tpu bf16i8")
+    assert s.int8_weights
+    s = parse_strategy("tpu bf16 *int8")
+    assert s.int8_weights
+    s = parse_strategy("cpu fp32")
+    assert s.device == "cpu" and s.compute_dtype == jnp.float32
+    with pytest.raises(ValueError):
+        parse_strategy("cuda fp16 *20+ -> cpu fp32")
+
+
+def test_apply_strategy():
+    params = {"blocks": [{"att": {"receptance": {"weight": jnp.zeros((512, 512))}}}]}
+    out = apply_strategy(params, parse_strategy("cpu bf16i8"))
+    leaf = out["blocks"][0]["att"]["receptance"]
+    assert "weight_q" in leaf and leaf["weight_q"].dtype == jnp.int8
+    out2 = apply_strategy({"w": jnp.zeros((4, 4), jnp.float32)}, parse_strategy("cpu bf16"))
+    assert out2["w"].dtype == jnp.bfloat16

@@ -1,0 +1,76 @@
+"""Strategy-string DSL for serving placement/precision.
+
+The reference's serving engine is configured by strings like
+``"cuda fp16 *20+ -> cpu fp32"`` (per-layer device/dtype plans + streaming,
+app/modeling_rwkv.py:184-314).  On TPU, weights fit or are sharded — layer
+streaming is unnecessary — so the grammar maps to device + compute dtype +
+optional weight quantization:
+
+    "tpu bf16"          all weights bf16 on the TPU (default)
+    "tpu bf16i8"        bf16 activations, int8 weights (weight-only quant)
+    "cpu fp32"          host CPU, fp32
+    "tpu bf16 *int8"    same as bf16i8 (reference-style modifier)
+
+``apply_strategy`` places/casts a parameter tree accordingly.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+_STRATEGY_RE = re.compile(
+    r"^\s*(?P<device>tpu|cpu|gpu)\s+"
+    r"(?P<dtype>bf16|fp16|fp32)(?P<quant>i8)?"
+    r"(?:\s+\*(?P<mod>int8|stream))?\s*$"
+)
+
+_DTYPES = {"bf16": jnp.bfloat16, "fp16": jnp.float16, "fp32": jnp.float32}
+
+
+@dataclass(frozen=True)
+class Strategy:
+    device: str = "tpu"
+    compute_dtype: Any = jnp.bfloat16
+    int8_weights: bool = False
+
+    @property
+    def dtype_name(self) -> str:
+        return jnp.dtype(self.compute_dtype).name
+
+
+def parse_strategy(s: str) -> Strategy:
+    m = _STRATEGY_RE.match(s)
+    if not m:
+        raise ValueError(
+            f"bad strategy {s!r}; expected e.g. 'tpu bf16', 'tpu bf16i8', 'cpu fp32'"
+        )
+    return Strategy(
+        device=m.group("device"),
+        compute_dtype=_DTYPES[m.group("dtype")],
+        int8_weights=bool(m.group("quant")) or m.group("mod") == "int8",
+    )
+
+
+def apply_strategy(params, strategy: Strategy):
+    """Cast/quantize a parameter tree and place it on the strategy's device."""
+    if strategy.int8_weights:
+        from visualrwkv_tpu.infer.quant import quantize_lm_params
+
+        params = quantize_lm_params(params)
+
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(strategy.compute_dtype)
+        return x
+
+    params = jax.tree_util.tree_map(cast, params)
+    plat = "cpu" if strategy.device == "cpu" else None
+    if plat:
+        dev = jax.devices(plat)[0]
+        params = jax.tree_util.tree_map(lambda x: jax.device_put(x, dev), params)
+    return params
