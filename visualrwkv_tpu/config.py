@@ -132,3 +132,7 @@ class TrainConfig:
     enable_state_tuning: bool = False
     # parallelism: data-parallel mesh size is taken from the runtime mesh
     zero_stage: int = 1  # 0: replicated opt state, 1: sharded opt state (ZeRO-1)
+    # host-offloaded optimizer state (DeepSpeedCPUAdam analog): places m/v in
+    # pinned host memory via memory_kind; TPU backends only
+    offload_optimizer: bool = False
+    wandb_project: str = ""

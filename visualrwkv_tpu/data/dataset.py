@@ -150,8 +150,15 @@ class VisualRWKVDataset:
         return item
 
 
-def collate(batch: List[dict]) -> dict:
-    """Multi-image collate (reference multi_image_collate_fn, dataset.py:24-36)."""
+def collate(batch: List[dict], pad_images_to: int = 0) -> dict:
+    """Multi-image collate (reference multi_image_collate_fn, dataset.py:24-36).
+
+    ``pad_images_to``: pad the batch's total image count to a fixed bucket with
+    zero images APPENDED AT THE END — the ordered token scatter consumes
+    exactly the real features, so shapes stay static under jit across batches
+    with ragged per-sample image counts (SURVEY hard part: ragged multimodal
+    batching vs XLA static shapes).
+    """
     out = {
         "input_ids": np.stack([b["input_ids"] for b in batch]),
         "labels": np.stack([b["labels"] for b in batch]),
@@ -161,9 +168,21 @@ def collate(batch: List[dict]) -> dict:
     with_images = [b for b in batch if "images" in b]
     if with_images:
         towers = with_images[0]["images"].keys()
-        out["images"] = {
+        images = {
             t: np.concatenate([b["images"][t] for b in with_images]) for t in towers
         }
+        n_real = next(iter(images.values())).shape[0]
+        if pad_images_to:
+            if n_real > pad_images_to:
+                raise ValueError(
+                    f"batch has {n_real} images > pad_images_to={pad_images_to}"
+                )
+            for t in images:
+                pad_shape = (pad_images_to - n_real,) + images[t].shape[1:]
+                images[t] = np.concatenate(
+                    [images[t], np.zeros(pad_shape, images[t].dtype)]
+                )
+        out["images"] = images
         out["num_image_per_sample"] = np.asarray(
             [len(b["images"][next(iter(towers))]) if "images" in b else 0 for b in batch]
         )
@@ -171,13 +190,13 @@ def collate(batch: List[dict]) -> dict:
 
 
 def batches_for_epoch(
-    dataset: VisualRWKVDataset, epoch: int
+    dataset: VisualRWKVDataset, epoch: int, pad_images_to: int = 0
 ) -> "Callable[[int], dict]":
     """Returns batch_fn(step) -> collated batch for the given epoch."""
     bsz = dataset.cfg.micro_bsz
 
     def batch_fn(step: int) -> dict:
         items = [dataset.get_item(epoch, step * bsz + i) for i in range(bsz)]
-        return collate(items)
+        return collate(items, pad_images_to=pad_images_to)
 
     return batch_fn

@@ -140,12 +140,25 @@ class Trainer:
         state, self.opt = create_train_state(self.params, train_cfg, vlm_cfg, total_steps)
         if train_cfg.zero_stage >= 1:
             o_shard = zero_sharding(state.opt_state, self.mesh)
+            if train_cfg.offload_optimizer and jax.default_backend() == "tpu":
+                # DeepSpeedCPUAdam analog: optimizer moments live in pinned
+                # host memory; XLA streams them through HBM per update
+                o_shard = jax.tree_util.tree_map(
+                    lambda s: s.with_memory_kind("pinned_host"), o_shard
+                )
             state.opt_state = jax.tree_util.tree_map(
                 jax.device_put, state.opt_state, o_shard
             )
         self.state = state
         self.train_step = make_train_step(train_cfg, vlm_cfg, self.opt, self.mesh)
         self.history: list = []
+        from visualrwkv_tpu.utils.observability import ThroughputMeter, TrainLogWriter
+
+        self.meter = ThroughputMeter()
+        self.train_log = TrainLogWriter(
+            proj_dir, run_config={"train": vars(train_cfg) if hasattr(train_cfg, "__dict__") else str(train_cfg)},
+            wandb_project=train_cfg.wandb_project,
+        )
 
     def run_epoch(self, batch_fn: Callable[[int], Dict], epoch: int) -> float:
         cfg = self.cfg
@@ -164,17 +177,26 @@ class Trainer:
                 params, opt_state, step, loss = self.train_step(
                     params, opt_state, step, device_batch
                 )
+            tokens = int(np.prod(batch["input_ids"].shape))
+            rates = self.meter.step(batch["input_ids"].shape[0], tokens)
             if s % self.log_every == 0 or s == cfg.epoch_steps - 1:
                 last_loss = float(loss)
-                dt = time.time() - t0
-                t0 = time.time()
-                rate = self.log_every / max(dt, 1e-9)
                 log.info(
-                    "epoch %d step %d/%d loss %.4f exp(loss) %.3f it/s %.2f",
-                    epoch, s, cfg.epoch_steps, last_loss, float(np.exp(min(last_loss, 20))), rate,
+                    "epoch %d step %d/%d loss %.4f exp(loss) %.3f it/s %.2f tok/s %.0f",
+                    epoch, s, cfg.epoch_steps, last_loss,
+                    float(np.exp(min(last_loss, 20))), rates["it/s"], rates["token/s"],
                 )
                 self.history.append({"epoch": epoch, "step": s, "loss": last_loss})
+                self.train_log.log_step({"loss": last_loss, **rates})
         self.state = TrainState(params=params, opt_state=opt_state, step=step)
+        from visualrwkv_tpu.train.schedule import cosine_warmup_lr
+
+        lr_now = float(
+            cosine_warmup_lr(
+                int(step), cfg.lr_init, cfg.lr_final, cfg.warmup_steps, self.total_steps
+            )
+        )
+        self.train_log.log_epoch(epoch, last_loss, lr_now)
         return last_loss
 
     def save_checkpoint(self, path: str) -> None:
