@@ -154,32 +154,63 @@ def _rel_pos_table(size: int, rel_pos: Array) -> Array:
     return rel_pos[coords]
 
 
+_MAX_DENSE_TOKENS = 2048  # above this, use exact q-chunked attention
+
+
 def attention_relpos(p: Params, x: Array, heads: int, dt) -> Array:
-    """Attention over [B, H, W, C] tokens with decomposed relative positions."""
+    """Attention over [B, H, W, C] tokens with decomposed relative positions.
+
+    Global layers at 1024px have 64x64 = 4096 tokens; materializing the
+    [B, h, 4096, 4096] logits costs gigabytes, so large inputs run an EXACT
+    q-chunked softmax (per-block logits + decomposed rel-pos bias), bounding
+    memory at [B, h, block, N].
+    """
     B, H, W, C = x.shape
     hd = C // heads
-    qkv = _dense(p["qkv"], x.reshape(B, H * W, C), dt).reshape(B, H * W, 3, heads, hd)
+    N = H * W
+    qkv = _dense(p["qkv"], x.reshape(B, N, C), dt).reshape(B, N, 3, heads, hd)
     q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))  # [B,h,N,hd]
     scale = hd**-0.5
-    logits = jnp.matmul(
-        (q * scale).astype(dt), k.astype(dt).transpose(0, 1, 3, 2),
-        preferred_element_type=jnp.float32,
-    )  # [B,h,N,N]
 
-    rh = _rel_pos_table(H, p["rel_pos_h"]).astype(jnp.float32)  # [H,H,hd]
+    rh = _rel_pos_table(H, p["rel_pos_h"]).astype(jnp.float32)  # [Hq,Hk,hd]
     rw = _rel_pos_table(W, p["rel_pos_w"]).astype(jnp.float32)
     qs = q.astype(jnp.float32).reshape(B, heads, H, W, hd)
     rel_h = jnp.einsum("bnhwc,hkc->bnhwk", qs, rh)  # [B,h,H,W,Hk]
     rel_w = jnp.einsum("bnhwc,wkc->bnhwk", qs, rw)  # [B,h,H,W,Wk]
-    logits = (
-        logits.reshape(B, heads, H, W, H, W)
-        + rel_h[..., :, None]
-        + rel_w[..., None, :]
-    ).reshape(B, heads, H * W, H * W)
+    # bias[q=(qh,qw), k=(kh,kw)] = rel_h[qh,qw,kh] + rel_w[qh,qw,kw]
+    rel_h = rel_h.reshape(B, heads, N, H)
+    rel_w = rel_w.reshape(B, heads, N, W)
 
-    attn = jax.nn.softmax(logits, axis=-1)
-    out = jnp.matmul(attn.astype(dt), v.astype(dt), preferred_element_type=jnp.float32)
-    out = out.transpose(0, 2, 1, 3).reshape(B, H * W, C)
+    def block_attend(q_blk, rh_blk, rw_blk):
+        # q_blk [B,h,M,hd]; rh_blk [B,h,M,H]; rw_blk [B,h,M,W] -> [B,h,M,hd]
+        logits = jnp.matmul(
+            (q_blk * scale).astype(dt), k.astype(dt).transpose(0, 1, 3, 2),
+            preferred_element_type=jnp.float32,
+        )
+        M = q_blk.shape[2]
+        bias = (rh_blk[..., :, None] + rw_blk[..., None, :]).reshape(B, heads, M, N)
+        attn = jax.nn.softmax(logits + bias, axis=-1)
+        return jnp.matmul(attn.astype(dt), v.astype(dt), preferred_element_type=jnp.float32)
+
+    if N <= _MAX_DENSE_TOKENS:
+        out = block_attend(q, rel_h, rel_w)
+    else:
+        block = _MAX_DENSE_TOKENS // 2
+        assert N % block == 0, (N, block)
+        nb = N // block
+
+        def body(i, acc):
+            q_blk = jax.lax.dynamic_slice_in_dim(q, i * block, block, axis=2)
+            rh_blk = jax.lax.dynamic_slice_in_dim(rel_h, i * block, block, axis=2)
+            rw_blk = jax.lax.dynamic_slice_in_dim(rel_w, i * block, block, axis=2)
+            o = block_attend(q_blk, rh_blk, rw_blk)
+            return jax.lax.dynamic_update_slice_in_dim(acc, o, i * block, axis=2)
+
+        out = jax.lax.fori_loop(
+            0, nb, body, jnp.zeros((B, heads, N, hd), jnp.float32)
+        )
+
+    out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
     return _dense(p["proj"], out, dt).reshape(B, H, W, C)
 
 

@@ -144,16 +144,14 @@ def _act(x: Array, kind: str) -> Array:
 
 
 def attention(p: Params, x: Array, heads: int, dt) -> Array:
+    """Bidirectional MHA via jax.nn.dot_product_attention (XLA fuses the
+    softmax-matmul chain; fp32 softmax internally)."""
     B, N, C = x.shape
     hd = C // heads
     qkv = _dense(p["qkv"], x, dt).reshape(B, N, 3, heads, hd)
-    q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))  # [B,h,N,hd]
-    scores = jnp.matmul(
-        q.astype(dt), k.astype(dt).transpose(0, 1, 3, 2), preferred_element_type=jnp.float32
-    ) / math.sqrt(hd)
-    attn = jax.nn.softmax(scores, axis=-1)
-    out = jnp.matmul(attn.astype(dt), v.astype(dt), preferred_element_type=jnp.float32)
-    out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+    q, k, v = (qkv[:, :, i].astype(dt) for i in range(3))  # [B, N, h, hd]
+    out = jax.nn.dot_product_attention(q, k, v)
+    out = out.reshape(B, N, C)
     return _dense(p["proj"], out, dt)
 
 
