@@ -100,6 +100,8 @@ class VLMConfig:
     image_position: str = "first"  # "first" | "middle" | "last" (v6.0 sandwich prompts)
     n_vtc_layer: int = 0  # visual token compressor depth (v7.03); 0 = disabled
     bidirectional_image: bool = False  # v6.0/HD/UHD odd-layer image-span flip
+    image_scanning: str = "unidirection"  # v5.1 patch scan order
+    grid_size: int = -2  # v5/v6.0 grid pooling (-2 = adaptive pooling instead)
 
     def replace(self, **kw) -> "VLMConfig":
         return dataclasses.replace(self, **kw)

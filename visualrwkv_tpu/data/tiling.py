@@ -79,6 +79,24 @@ def image_to_regions(image, region_size: int = 448) -> List:
     return split_into_tiles(resized, n, m)
 
 
+def gpt4v_crop(image, detail: str = "high", crop_size: int = 336) -> List:
+    """GPT-4V-style detail crops (reference v6.0/src/utils.py, used by
+    rank_answer.py:107-118): "low" = [image]; "high" = [full image] + up to
+    2x3 grid of crop_size crops over the aspect-fit resized image."""
+    from PIL import Image
+
+    if detail == "low":
+        return [image]
+    w, h = image.size
+    # aspect-preserving fit into a 2x3 / 3x2 crop grid
+    if w >= h:
+        n_cols, n_rows = 3, 2
+    else:
+        n_cols, n_rows = 2, 3
+    resized = image.resize((n_cols * crop_size, n_rows * crop_size), Image.BICUBIC)
+    return [image] + split_into_tiles(resized, n_rows, n_cols)
+
+
 def sample_video_frames(frame_paths: Sequence, num_frames: int) -> List:
     """Uniform frame sampling (reference evaluate.py:117-126)."""
     frame_paths = list(frame_paths)

@@ -48,15 +48,33 @@ def encode_images(
     ``.detach()`` in encode_images, model.py:368-369,449-471): gradients are
     stopped before the projector. The reference's minibatch-4 + empty_cache
     VRAM workaround is unnecessary under XLA's static allocator.
+
+    Optional post-projection stages (configured, v7.03/v5.1):
+    - visual token compressor when ``cfg.n_vtc_layer > 0`` and params carry
+      a "vtc" subtree (replaces adaptive pooling, v7.03/train.py:62);
+    - patch scanning reorders when ``cfg`` has ``image_scanning`` set.
     """
     feats = backbone_features(
         params["vit"], cfg.vision, images, cfg.rwkv.compute_dtype, normalized
     )
     feats = jax.lax.stop_gradient(feats)
-    feats = adaptive_pool_tokens(feats, cfg.num_token_per_image)
-    return apply_projector(
+    use_vtc = cfg.n_vtc_layer > 0 and "vtc" in params
+    if not use_vtc:
+        feats = adaptive_pool_tokens(feats, cfg.num_token_per_image)
+    feats = apply_projector(
         params["proj"], cfg.proj_type, feats, jnp.dtype(cfg.rwkv.compute_dtype)
     )
+    if use_vtc:
+        from visualrwkv_tpu.multimodal.vtc import vtc_forward
+
+        feats = vtc_forward(params["vtc"], cfg.rwkv, feats)
+        feats = adaptive_pool_tokens(feats, cfg.num_token_per_image)
+    scanning = getattr(cfg, "image_scanning", None)
+    if scanning and scanning != "unidirection":
+        from visualrwkv_tpu.multimodal.scanning import apply_scanning
+
+        feats = apply_scanning(feats, scanning)
+    return feats
 
 
 def prepare_embeddings(

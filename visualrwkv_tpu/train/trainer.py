@@ -199,25 +199,50 @@ class Trainer:
         self.train_log.log_epoch(epoch, last_loss, lr_now)
         return last_loss
 
-    def save_checkpoint(self, path: str) -> None:
+    def save_checkpoint(self, path: str, with_optimizer: bool = True) -> None:
+        """Orbax checkpoint with params + step and (unlike the reference's
+        weight-only .pth saves, SURVEY §5) the optimizer state for true resume."""
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(
-            path,
-            {
-                "params": jax.tree_util.tree_map(np.asarray, self.state.params),
-                "step": int(self.state.step),
-            },
-            force=True,
-        )
+        payload = {
+            "params": jax.tree_util.tree_map(np.asarray, self.state.params),
+            "step": int(self.state.step),
+        }
+        if with_optimizer:
+            payload["opt_state"] = jax.tree_util.tree_map(
+                lambda x: np.asarray(x) if hasattr(x, "shape") else x,
+                self.state.opt_state,
+            )
+        ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
 
     def load_checkpoint(self, path: str) -> None:
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(path)
+        # restore against the live structure so optax NamedTuples round-trip
+        template = {
+            "params": jax.tree_util.tree_map(np.asarray, self.state.params),
+            "step": int(self.state.step),
+            "opt_state": jax.tree_util.tree_map(
+                lambda x: np.asarray(x) if hasattr(x, "shape") else x,
+                self.state.opt_state,
+            ),
+        }
+        try:
+            restored = ckptr.restore(path, template)
+        except BaseException:
+            template.pop("opt_state")  # weights-only checkpoint
+            restored = ckptr.restore(path, template)
         self.state.params = jax.tree_util.tree_map(
             lambda a, b: jnp.asarray(b, a.dtype), self.state.params, restored["params"]
         )
+        if "opt_state" in restored:
+            self.state.opt_state = jax.tree_util.tree_map(
+                lambda a, b: jnp.asarray(b, a.dtype) if hasattr(a, "dtype") else b,
+                self.state.opt_state,
+                restored["opt_state"],
+            )
+        if "step" in restored:
+            self.state.step = jnp.asarray(restored["step"], jnp.int32)
