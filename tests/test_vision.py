@@ -70,6 +70,35 @@ def test_dinov2_reg_parity():
     assert rel_err(feats, ref) < 2e-5
 
 
+def test_clip_parity():
+    from transformers import CLIPVisionConfig, CLIPVisionModel
+
+    from visualrwkv_tpu.convert.vision_import import import_clip_vision
+
+    torch.manual_seed(3)
+    hf_cfg = CLIPVisionConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=4,
+        num_attention_heads=4, image_size=32, patch_size=8,
+        hidden_act="quick_gelu",
+    )
+    hf = CLIPVisionModel(hf_cfg).eval()
+    pixels = torch.randn(2, 3, 32, 32)
+    with torch.no_grad():
+        hs = hf(pixels, output_hidden_states=True).hidden_states
+
+    cfg = ViTConfig(
+        img_size=32, patch_size=8, width=64, depth=4, heads=4, mlp_dim=128,
+        act="quick_gelu", use_cls=True, num_reg=0, layerscale=False,
+        pre_ln=True, patch_bias=False, keep_cls_feature=True, ln_eps=1e-5,
+        compute_dtype="float32",
+    )
+    params = import_clip_vision(hf.state_dict(), cfg.grid)
+    feats = vit_features(params, cfg, np.asarray(pixels.permute(0, 2, 3, 1)))
+    ref = hs[3].numpy()  # includes cls (keep_cls_feature)
+    assert feats.shape == ref.shape
+    assert rel_err(feats, ref) < 2e-5
+
+
 def test_sam_parity():
     from transformers import SamConfig, SamModel, SamVisionConfig
 

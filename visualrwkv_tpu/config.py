@@ -79,13 +79,15 @@ class VisionConfig:
     dino_dim: int = 1024
     siglip_dim: int = 1152
     sam_dim: int = 1024
+    clip_dim: int = 1024
     # optional mapping tower-name -> ViTConfig/SAMConfig overriding the default
     # architectures (used for custom/smoke-test towers)
     tower_config_overrides: Any = None
 
     @property
     def embed_dim(self) -> int:
-        dims = {"dino": self.dino_dim, "siglip": self.siglip_dim, "sam": self.sam_dim}
+        dims = {"dino": self.dino_dim, "siglip": self.siglip_dim,
+                "sam": self.sam_dim, "clip": self.clip_dim}
         return sum(dims[t] for t in self.towers)
 
 

@@ -96,6 +96,54 @@ def import_siglip_vision(sd: Mapping, dst_grid: int) -> Params:
     return p
 
 
+def import_clip_vision(sd: Mapping, dst_grid: int) -> Params:
+    """HF CLIPVisionModel state dict -> ViT params (cls, pre-LN, quick-gelu)."""
+    pre = "vision_model"
+    if not any(key.startswith(pre) for key in sd):
+        pre = ""
+    g = lambda name: _np(sd[f"{pre}.{name}" if pre else name])
+
+    pos = g("embeddings.position_embedding.weight")  # [1+N, C]
+    cls_pos, patch_pos = pos[:1], pos[1:]
+    src_grid = int(round(patch_pos.shape[0] ** 0.5))
+    patch_pos = interpolate_pos_embed(patch_pos, src_grid, dst_grid)
+    p: Params = {
+        "cls_token": g("embeddings.class_embedding").reshape(-1),
+        "patch_embed": {
+            "weight": _conv_to_patch_matrix(g("embeddings.patch_embedding.weight")),
+        },
+        "pos_embed": np.concatenate([cls_pos, patch_pos], axis=0),
+        # note: HF spells it "pre_layrnorm"
+        "pre_ln": {"weight": g("pre_layrnorm.weight"), "bias": g("pre_layrnorm.bias")},
+        "blocks": [],
+        "ln_out": {"weight": g("post_layernorm.weight"), "bias": g("post_layernorm.bias")},
+    }
+    i = 0
+    while f"{pre + '.' if pre else ''}encoder.layers.{i}.layer_norm1.weight" in sd:
+        base = f"encoder.layers.{i}"
+        p["blocks"].append(
+            {
+                "ln1": {"weight": g(f"{base}.layer_norm1.weight"), "bias": g(f"{base}.layer_norm1.bias")},
+                "ln2": {"weight": g(f"{base}.layer_norm2.weight"), "bias": g(f"{base}.layer_norm2.bias")},
+                "attn": {
+                    "qkv": _fuse_qkv(
+                        sd, f"{pre + '.' if pre else ''}{base}.self_attn", "q_proj", "k_proj", "v_proj"
+                    ),
+                    "proj": {
+                        "weight": g(f"{base}.self_attn.out_proj.weight").T,
+                        "bias": g(f"{base}.self_attn.out_proj.bias"),
+                    },
+                },
+                "mlp": {
+                    "fc1": {"weight": g(f"{base}.mlp.fc1.weight").T, "bias": g(f"{base}.mlp.fc1.bias")},
+                    "fc2": {"weight": g(f"{base}.mlp.fc2.weight").T, "bias": g(f"{base}.mlp.fc2.bias")},
+                },
+            }
+        )
+        i += 1
+    return p
+
+
 def import_dinov2_vision(sd: Mapping, dst_grid: int) -> Params:
     """HF Dinov2WithRegistersModel state dict -> ViT params (cls+reg, layerscale)."""
     g = lambda name: _np(sd[name])

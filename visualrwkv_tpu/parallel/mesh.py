@@ -84,3 +84,45 @@ def zero_sharding(tree: Params, mesh: Mesh, min_size: int = 2**16):
 def replicated_sharding(tree: Params, mesh: Mesh):
     rep = replicated(mesh)
     return jax.tree_util.tree_map(lambda _: rep, tree)
+
+
+def tensor_parallel_sharding(params: Params, mesh: Mesh):
+    """Megatron-style tensor parallelism over the ``model`` axis for RWKV.
+
+    Head-dim sharding: Tmix receptance/key/value/gate produce head-sharded
+    activations (the WKV recurrence is independent per head, so it partitions
+    cleanly as long as the model axis divides n_head), the output projection
+    contracts the sharded dim back; ChannelMix shards its 4x hidden dim; the
+    vocab head shards the vocabulary; the wide vision projector shards its
+    input dim. Everything else stays replicated — GSPMD inserts the
+    all-reduces.
+
+    Note: the fused Pallas WKV kernel is not SPMD-partitioned; use
+    ``ops.wkv7.set_wkv_impl("chunked")`` when training with a model axis > 1.
+    """
+    n_model = mesh.shape["model"]
+
+    def spec(path, x):
+        keys = [str(getattr(p, "key", getattr(p, "idx", ""))) for p in path]
+        if getattr(x, "ndim", 0) != 2 or n_model == 1:
+            return replicated(mesh)
+        tail = keys[-2] if len(keys) >= 2 else ""
+        shard_out = NamedSharding(mesh, P(None, "model"))
+        shard_in = NamedSharding(mesh, P("model", None))
+        if tail == "head" and x.shape[1] % n_model == 0:
+            return shard_out
+        if "att" in keys:
+            if tail in ("receptance", "key", "value", "gate") and x.shape[1] % n_model == 0:
+                return shard_out
+            if tail == "output" and x.shape[0] % n_model == 0:
+                return shard_in
+        if "ffn" in keys or "ffn_v" in keys:
+            if tail == "key" and x.shape[1] % n_model == 0:
+                return shard_out
+            if tail == "value" and x.shape[0] % n_model == 0:
+                return shard_in
+        if tail in ("o_proj", "gate") and keys[0] == "proj" and x.shape[0] % n_model == 0:
+            return shard_in
+        return replicated(mesh)
+
+    return jax.tree_util.tree_map_with_path(spec, params)

@@ -130,9 +130,15 @@ class Trainer:
         total_steps = (train_cfg.epoch_begin + train_cfg.epoch_count) * train_cfg.epoch_steps
         self.total_steps = total_steps
 
-        # placement: params replicated (or FSDP via zero_stage>=3),
-        # optimizer state ZeRO-1 sharded
-        if train_cfg.zero_stage >= 3:
+        # placement: params replicated, FSDP-sharded (zero_stage>=3), or
+        # tensor-parallel over the model axis; optimizer state ZeRO-1 sharded
+        if self.mesh.shape.get("model", 1) > 1:
+            from visualrwkv_tpu.ops.wkv7 import set_wkv_impl
+            from visualrwkv_tpu.parallel.mesh import tensor_parallel_sharding
+
+            set_wkv_impl("chunked")  # the fused Pallas fwd is not SPMD-partitioned
+            p_shard = tensor_parallel_sharding(params, self.mesh)
+        elif train_cfg.zero_stage >= 3:
             p_shard = zero_sharding(params, self.mesh)
         else:
             p_shard = replicated_sharding(params, self.mesh)

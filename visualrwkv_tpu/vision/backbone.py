@@ -50,6 +50,10 @@ def tower_configs(cfg: VisionConfig, compute_dtype: str = "bfloat16") -> Dict[st
             out[t] = dataclasses.replace(
                 SAM_VIT_B, img_size=cfg.sam_image_size, compute_dtype=compute_dtype
             )
+        elif t == "clip":
+            from visualrwkv_tpu.vision.vit import CLIP_L_336
+
+            out[t] = dataclasses.replace(CLIP_L_336, compute_dtype=compute_dtype)
         else:
             raise ValueError(f"unknown tower {t}")
     return out

@@ -37,10 +37,13 @@ class ViTConfig:
     depth: int = 24
     heads: int = 16
     mlp_dim: int = 4096
-    act: str = "gelu"  # "gelu" | "gelu_tanh"
+    act: str = "gelu"  # "gelu" | "gelu_tanh" | "quick_gelu"
     use_cls: bool = True
     num_reg: int = 0
     layerscale: bool = False
+    pre_ln: bool = False  # CLIP-style LayerNorm after embeddings
+    patch_bias: bool = True
+    keep_cls_feature: bool = False  # CLIP grid pooling wants [cls, patches]
     ln_eps: float = 1e-6
     feature_layer: int = -2  # which block's output to return (negative ok)
     compute_dtype: str = "bfloat16"
@@ -67,6 +70,12 @@ SIGLIP_SO400M = ViTConfig(
     img_size=448, patch_size=14, width=1152, depth=27, heads=16, mlp_dim=4304,
     act="gelu_tanh", use_cls=False, num_reg=0, layerscale=False,
 )
+CLIP_L_336 = ViTConfig(
+    img_size=336, patch_size=14, width=1024, depth=24, heads=16, mlp_dim=4096,
+    act="quick_gelu", use_cls=True, num_reg=0, layerscale=False,
+    pre_ln=True, patch_bias=False, keep_cls_feature=True,
+    ln_eps=1e-5,
+)
 
 
 def _ln_init(C: int) -> Params:
@@ -89,7 +98,6 @@ def init_vit_params(key: Array, cfg: ViTConfig) -> Params:
                 keys[0], (cfg.patch_size * cfg.patch_size * 3, C), jnp.float32
             )
             * 0.02,
-            "bias": jnp.zeros((C,), jnp.float32),
         },
         "pos_embed": jax.random.normal(
             keys[1], (cfg.num_patches + (1 if cfg.use_cls else 0), C), jnp.float32
@@ -97,6 +105,10 @@ def init_vit_params(key: Array, cfg: ViTConfig) -> Params:
         * 0.02,
         "blocks": [],
     }
+    if cfg.patch_bias:
+        p["patch_embed"]["bias"] = jnp.zeros((C,), jnp.float32)
+    if cfg.pre_ln:
+        p["pre_ln"] = _ln_init(C)
     if cfg.use_cls:
         p["cls_token"] = jnp.zeros((C,), jnp.float32)
     if cfg.num_reg:
@@ -132,7 +144,7 @@ def layer_norm(p: Params, x: Array, eps: float) -> Array:
 
 def _dense(p: Params, x: Array, dt) -> Array:
     y = jnp.matmul(x.astype(dt), p["weight"].astype(dt), preferred_element_type=jnp.float32)
-    return y + p["bias"]
+    return y + p["bias"] if "bias" in p else y
 
 
 def _act(x: Array, kind: str) -> Array:
@@ -140,6 +152,8 @@ def _act(x: Array, kind: str) -> Array:
         return jax.nn.gelu(x, approximate=False)
     if kind == "gelu_tanh":
         return jax.nn.gelu(x, approximate=True)
+    if kind == "quick_gelu":  # CLIP: x * sigmoid(1.702 x)
+        return x * jax.nn.sigmoid(1.702 * x)
     raise ValueError(kind)
 
 
@@ -204,6 +218,10 @@ def vit_features(
         ).astype(x.dtype)
         x = jnp.concatenate([x[:, :n_prefix], reg, x[:, n_prefix:]], axis=1)
         n_prefix += cfg.num_reg
+    if cfg.pre_ln:
+        x = layer_norm(params["pre_ln"], x, cfg.ln_eps)
     for i in range(fl + 1):
         x = vit_block(params["blocks"][i], cfg, x, dt)
+    if cfg.keep_cls_feature:  # CLIP demo path: [cls, patches] for grid pooling
+        return x
     return x[:, n_prefix:]
