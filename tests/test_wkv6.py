@@ -70,3 +70,18 @@ def test_gradients_match_reference():
     g_chk = jax.grad(loss(wkv6_chunked), argnums=tuple(range(6)))(*inputs, s0)
     for name, gr, gc in zip(["r", "w", "k", "v", "u", "s0"], g_ref, g_chk):
         assert rel_err(gc, gr) < 1e-4, f"grad mismatch for {name}"
+
+
+def test_pallas_matches_reference():
+    from visualrwkv_tpu.ops.wkv6_pallas import wkv6_pallas
+
+    inputs = make_inputs(jax.random.PRNGKey(5), B=2, T=64, H=4, N=16)
+    y_ref, s_ref = wkv6_reference(*inputs)
+    y_pal, s_pal = wkv6_pallas(*inputs, chunk=16)
+    assert rel_err(y_pal, y_ref) < 1e-5
+    assert rel_err(s_pal, s_ref) < 1e-5
+    s0 = jax.random.normal(jax.random.PRNGKey(9), (2, 4, 16, 16), jnp.float32)
+    y_ref, s_ref = wkv6_reference(*inputs, initial_state=s0)
+    y_pal, s_pal = wkv6_pallas(*inputs, initial_state=s0, chunk=32)
+    assert rel_err(y_pal, y_ref) < 1e-5
+    assert rel_err(s_pal, s_ref) < 1e-5

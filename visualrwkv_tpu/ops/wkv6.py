@@ -137,6 +137,49 @@ def wkv6_chunked(
     return y.astype(r.dtype), jnp.swapaxes(z_final, -1, -2)
 
 
+# ---------------------------------------------------------------------------
+# Dispatching entry point: fused Pallas forward on TPU, jnp-chunked gradients
+# (same structure as ops.wkv7)
+# ---------------------------------------------------------------------------
+
+
+def _select_forward6(chunk, r, w_raw, k, v, u, initial_state):
+    from visualrwkv_tpu.ops.wkv7 import _IMPL_MODE
+
+    T = r.shape[1]
+    use_pallas = _IMPL_MODE == "pallas" or (
+        _IMPL_MODE == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        from visualrwkv_tpu.ops.wkv6_pallas import wkv6_pallas
+
+        for c in (128, 64, 32, 16):
+            if T % c == 0:
+                return wkv6_pallas(r, w_raw, k, v, u, initial_state, chunk=c)
+    return wkv6_chunked(r, w_raw, k, v, u, initial_state, chunk=chunk)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _wkv6_dispatch(chunk, r, w_raw, k, v, u, initial_state):
+    return _select_forward6(chunk, r, w_raw, k, v, u, initial_state)
+
+
+def _wkv6_fwd(chunk, r, w_raw, k, v, u, initial_state):
+    out = _select_forward6(chunk, r, w_raw, k, v, u, initial_state)
+    return out, (r, w_raw, k, v, u, initial_state)
+
+
+def _wkv6_bwd(chunk, residuals, cotangents):
+    _, vjp = jax.vjp(
+        lambda r, w, k, v, u, s: wkv6_chunked(r, w, k, v, u, s, chunk=chunk),
+        *residuals,
+    )
+    return vjp(cotangents)
+
+
+_wkv6_dispatch.defvjp(_wkv6_fwd, _wkv6_bwd)
+
+
 def wkv6(
     r: Array,
     w_raw: Array,
@@ -146,5 +189,6 @@ def wkv6(
     initial_state: Optional[Array] = None,
     chunk: int = DEFAULT_CHUNK,
 ) -> Tuple[Array, Array]:
-    """Dispatching entry point used by the models (chunked implementation)."""
-    return wkv6_chunked(r, w_raw, k, v, u, initial_state, chunk=chunk)
+    """Entry point used by the models: Pallas-fused forward on TPU ("auto"),
+    jnp chunked elsewhere and for all gradients."""
+    return _wkv6_dispatch(chunk, r, w_raw, k, v, u, initial_state)

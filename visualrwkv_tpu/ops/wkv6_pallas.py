@@ -1,0 +1,125 @@
+"""Fused Pallas TPU kernel for the chunked WKV6 forward.
+
+Same architecture as the WKV7 kernel (wkv7_pallas.py) with the simpler
+diagonal-decay recurrence: grid (BH/G, nc) with chunks as the inner dim, fp32
+state Z = S^T in VMEM scratch, cumsum-as-matmul, bf16 MXU dots with fp32
+accumulation for bf16 inputs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+DEFAULT_CHUNK = 64
+
+
+def _wkv6_kernel(init_ref, u_ref, r_ref, w_ref, k_ref, v_ref,
+                 y_ref, s_out_ref, z_scratch, *, L: int, nc: int, G: int,
+                 mxu_dtype):
+    c = pl.program_id(1)
+    f32 = jnp.float32
+    bf = mxu_dtype
+
+    @pl.when(c == 0)
+    def _():
+        z_scratch[:] = init_ref[:]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    cum = (cols <= rows).astype(f32)
+    strict = (cols < rows).astype(f32)
+    dot = functools.partial(jnp.dot, preferred_element_type=f32)
+
+    for gi in range(G):
+        r = r_ref[gi].astype(f32)
+        w = w_ref[gi].astype(f32)
+        k = k_ref[gi].astype(f32)
+        v = v_ref[gi].astype(bf)
+        u = u_ref[gi].astype(f32)  # [1, N] per-head bonus
+
+        logw = -jnp.exp(w)
+        g = dot(cum, logw)
+        g_prev = g - logw
+        g_last = g[-1:, :]
+
+        r_t = (r * jnp.exp(g_prev)).astype(bf)  # query sees pre-decay state
+        k_h = (k * jnp.exp(-g)).astype(bf)
+        k_bar = (k * jnp.exp(g_last - g)).astype(bf)
+
+        z = z_scratch[gi]
+        sk = (dot(r_t, k_h.T) * strict).astype(bf)
+        bonus = jnp.sum(u * k * r, axis=1, keepdims=True)  # [L, 1]
+        y = dot(r_t, z.astype(bf)) + dot(sk, v) + bonus * v.astype(f32)
+        y_ref[gi] = y.astype(y_ref.dtype)
+
+        z = jnp.exp(g_last).T * z + dot(k_bar.T, v)
+        z_scratch[gi] = z
+
+        @pl.when(c == nc - 1)
+        def _():
+            s_out_ref[gi] = z
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def wkv6_pallas(
+    r: Array,
+    w_raw: Array,
+    k: Array,
+    v: Array,
+    u: Array,
+    initial_state: Optional[Array] = None,
+    chunk: int = DEFAULT_CHUNK,
+) -> Tuple[Array, Array]:
+    """Fused forward. Same semantics as wkv6_chunked; T % chunk == 0."""
+    B, T, H, N = r.shape
+    if T % chunk != 0:
+        raise ValueError(f"T={T} must be a multiple of chunk={chunk}")
+    L = chunk
+    nc = T // L
+    BH = B * H
+
+    def flat(x):
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(BH, T, N)
+
+    rf, wf, kf, vf = (flat(x) for x in (r, w_raw, k, v))
+    uf = jnp.broadcast_to(u[None], (B, H, N)).reshape(BH, 1, N)
+    if initial_state is None:
+        z0 = jnp.zeros((BH, N, N), jnp.float32)
+    else:
+        z0 = jnp.swapaxes(initial_state.astype(jnp.float32), -1, -2).reshape(BH, N, N)
+
+    G = 1
+    for cand in (8, 4, 2):
+        if BH % cand == 0:
+            G = cand
+            break
+
+    in_spec = pl.BlockSpec((G, L, N), lambda bh, c: (bh, c, 0), memory_space=pltpu.VMEM)
+    u_spec = pl.BlockSpec((G, 1, N), lambda bh, c: (bh, 0, 0), memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((G, N, N), lambda bh, c: (bh, 0, 0), memory_space=pltpu.VMEM)
+    mxu_dtype = jnp.bfloat16 if r.dtype == jnp.bfloat16 else jnp.float32
+
+    y, s_out = pl.pallas_call(
+        functools.partial(_wkv6_kernel, L=L, nc=nc, G=G, mxu_dtype=mxu_dtype),
+        grid=(BH // G, nc),
+        in_specs=[state_spec, u_spec] + [in_spec] * 4,
+        out_specs=(in_spec, state_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, T, N), r.dtype),
+            jax.ShapeDtypeStruct((BH, N, N), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((G, N, N), jnp.float32)],
+        interpret=jax.default_backend() == "cpu",
+    )(z0, uf, rf, wf, kf, vf)
+
+    y = jnp.transpose(y.reshape(B, H, T, N), (0, 2, 1, 3))
+    final_state = jnp.swapaxes(s_out.reshape(B, H, N, N), -1, -2)
+    return y, final_state
