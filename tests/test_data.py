@@ -136,3 +136,39 @@ def test_collate_with_images(tok):
     batch = collate([item1, item2])
     assert batch["images"]["dino"].shape == (3, 4, 4, 3)
     assert list(batch["num_image_per_sample"]) == [2, 1]
+
+
+def test_align_image_spans():
+    import numpy as np
+
+    from visualrwkv_tpu.data.conversation import align_image_spans
+
+    a = np.array([5, IMAGE_TOKEN_INDEX, 7], np.int64)
+    b = np.array([1, 2, 3, IMAGE_TOKEN_INDEX, 9], np.int64)
+    la = np.array([5, -100, 7], np.int64)
+    lb = np.array([1, 2, 3, -100, 9], np.int64)
+    ids, labels = align_image_spans([a, b], [la, lb])
+    assert ids.shape == labels.shape
+    f0 = np.nonzero(ids[0] == IMAGE_TOKEN_INDEX)[0][0]
+    f1 = np.nonzero(ids[1] == IMAGE_TOKEN_INDEX)[0][0]
+    assert f0 == f1 == 3
+    assert (labels[0][:2] == IGNORE_INDEX).all()  # left pad masked
+
+
+def test_epoch_perm_shuffle(tmp_path):
+    import json
+
+    records = [{"id": f"s{i}", "conversations": [
+        {"from": "human", "value": "q"}, {"from": "gpt", "value": "a"}]}
+        for i in range(11)]
+    f = tmp_path / "d.json"
+    f.write_text(json.dumps(records))
+    cfg = DatasetConfig(data_file=str(f), ctx_len=16, epoch_steps=3,
+                        micro_bsz=2, towers=(), shuffle_mode="epoch_perm")
+    ds = VisualRWKVDataset(cfg, get_tokenizer())
+    e0 = [ds.sample_for_step(0, i)["id"] for i in range(11)]
+    e0_again = [ds.sample_for_step(0, i)["id"] for i in range(11)]
+    e1 = [ds.sample_for_step(1, i)["id"] for i in range(11)]
+    assert e0 == e0_again            # deterministic
+    assert sorted(e0) == sorted(e1)  # permutations of the same records
+    assert e0 != e1                  # different order across epochs

@@ -147,3 +147,35 @@ def test_end_to_end_eval_jsonl(tmp_path):
         assert set(rec) == {"question_id", "prompt", "text", "avg_logit",
                             "avg_prob", "model_id", "metadata"}
         float(rec["avg_logit"]); float(rec["avg_prob"])
+
+
+def test_gqa_detailed():
+    from visualrwkv_tpu.evals.metrics.gqa import evaluate_gqa_detailed
+
+    questions = {
+        "q1": {"answer": "yes", "types": {"structural": "verify"}, "entailed": ["q2"]},
+        "q2": {"answer": "cat", "types": {"structural": "query"}, "entailed": []},
+        "q3": {"answer": "no", "types": {"structural": "verify"}, "entailed": []},
+    }
+    preds = {"q1": "yes", "q2": "cat", "q3": "yes"}
+    m = evaluate_gqa_detailed(
+        preds, questions,
+        valid_answers={"q2": ["cat", "dog"]},
+        plausible_answers={"q2": ["cat"]},
+    )
+    assert m["accuracy"] == pytest.approx(100 * 2 / 3)
+    assert m["binary"] == 50.0
+    assert m["open"] == 100.0
+    assert m["consistency"] == 100.0  # q1 correct and its entailed q2 correct
+    assert m["validity"] == 100.0 and m["plausibility"] == 100.0
+    assert m["acc_verify"] == 50.0
+
+
+def test_vqa_breakdowns():
+    from visualrwkv_tpu.evals.metrics.vqa import evaluate_vqa
+
+    preds = {"a": "yes", "b": "3"}
+    anns = {"a": ["yes"] * 10, "b": ["2"] * 10}
+    m = evaluate_vqa(preds, anns, answer_types={"a": "yes/no", "b": "number"})
+    assert m["overall"] == 50.0
+    assert m["perAnswerType"] == {"number": 0.0, "yes/no": 100.0}

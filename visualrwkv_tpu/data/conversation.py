@@ -120,6 +120,41 @@ def pad_to_max_len(input_ids, targets, max_len: int, pad_token_id: int = 0):
     return input_ids, targets
 
 
+def align_image_spans(
+    batch_input_ids: List[np.ndarray],
+    batch_labels: List[np.ndarray],
+    pad_token_id: int = 0,
+):
+    """Left-pad samples so every row's FIRST image token sits at the same
+    index (the v6.0 variable-position insertion protocol,
+    v6.0/src/model.py:487-570 get_max_image_token_indice + left padding).
+    Host-side prep; returns stacked [B, T'] arrays."""
+    firsts = []
+    for ids in batch_input_ids:
+        pos = np.nonzero(ids == IMAGE_TOKEN_INDEX)[0]
+        firsts.append(int(pos[0]) if len(pos) else 0)
+    target = max(firsts)
+    out_ids, out_labels = [], []
+    for ids, labels, first in zip(batch_input_ids, batch_labels, firsts):
+        pad = target - first
+        out_ids.append(
+            np.concatenate([np.full(pad, pad_token_id, ids.dtype), ids])
+        )
+        out_labels.append(
+            np.concatenate([np.full(pad, IGNORE_INDEX, labels.dtype), labels])
+        )
+    max_len = max(len(x) for x in out_ids)
+    out_ids = [
+        np.concatenate([x, np.full(max_len - len(x), pad_token_id, x.dtype)])
+        for x in out_ids
+    ]
+    out_labels = [
+        np.concatenate([x, np.full(max_len - len(x), IGNORE_INDEX, x.dtype)])
+        for x in out_labels
+    ]
+    return np.stack(out_ids), np.stack(out_labels)
+
+
 def preprocess(
     conversations: Sequence[Dict],
     tokenizer,

@@ -74,6 +74,7 @@ class DatasetConfig:
     epoch_steps: int = 1000
     micro_bsz: int = 2
     image_position: str = "first"
+    shuffle_mode: str = "magic_prime"  # "magic_prime" | "epoch_perm" (v7.01)
     towers: Sequence[str] = ("dino", "siglip", "sam")
     tower_sizes: Dict[str, int] = field(default_factory=lambda: dict(TOWER_SIZES))
 
@@ -101,10 +102,22 @@ class VisualRWKVDataset:
 
     def sample_for_step(self, epoch: int, idx: int) -> dict:
         step = epoch * self.samples_per_epoch + idx * self.world_size + self.rank
+        if getattr(self.cfg, "shuffle_mode", "magic_prime") == "epoch_perm":
+            # v7.01 deterministic per-epoch permutation (seed 222,
+            # v7.01/src/dataset.py:154-177 get_sample_idx_mapping_for_epoch)
+            perm = self._epoch_perm(epoch)
+            return self.records[int(perm[step % len(self.records)])]
         sample_idx = (step * step * step) % self.magic_prime
         if step < self.magic_prime:
             return self.records[sample_idx]
         return self.records_reversed[sample_idx]
+
+    def _epoch_perm(self, epoch: int) -> np.ndarray:
+        cache = getattr(self, "_perm_cache", None)
+        if cache is None or cache[0] != epoch:
+            rng = np.random.default_rng(222 + epoch)
+            self._perm_cache = (epoch, rng.permutation(len(self.records)))
+        return self._perm_cache[1]
 
     def get_item(self, epoch: int, idx: int) -> dict:
         cfg = self.cfg

@@ -109,17 +109,36 @@ def vqa_accuracy(prediction: str, gt_answers: List[str]) -> float:
 
 
 def evaluate_vqa(
-    predictions: Dict[str, str], annotations: Dict[str, List[str]]
+    predictions: Dict[str, str],
+    annotations: Dict[str, List[str]],
+    question_types: Dict[str, str] = None,
+    answer_types: Dict[str, str] = None,
 ) -> Dict[str, float]:
-    """predictions: qid -> answer; annotations: qid -> list of human answers."""
-    scores = [
-        vqa_accuracy(predictions.get(qid, ""), answers)
-        for qid, answers in annotations.items()
-    ]
-    return {
-        "overall": 100.0 * sum(scores) / max(len(scores), 1),
+    """predictions: qid -> answer; annotations: qid -> list of human answers.
+
+    With optional per-question type maps, also reports the official
+    per-question-type and per-answer-type breakdowns (yes/no, number, other).
+    """
+    from collections import defaultdict
+
+    scores = {}
+    for qid, answers in annotations.items():
+        scores[qid] = vqa_accuracy(predictions.get(qid, ""), answers)
+    out = {
+        "overall": 100.0 * sum(scores.values()) / max(len(scores), 1),
         "n": len(scores),
     }
+    for name, mapping in (("perQuestionType", question_types),
+                          ("perAnswerType", answer_types)):
+        if not mapping:
+            continue
+        by_type = defaultdict(list)
+        for qid, s in scores.items():
+            by_type[mapping.get(qid, "unknown")].append(s)
+        out[name] = {
+            t: 100.0 * sum(v) / len(v) for t, v in sorted(by_type.items())
+        }
+    return out
 
 
 def textvqa_accuracy(predictions: List[Dict]) -> Dict[str, float]:

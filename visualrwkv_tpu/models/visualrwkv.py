@@ -30,13 +30,13 @@ Params = Dict[str, Any]
 
 def init_visualrwkv_params(key: Array, cfg: VLMConfig) -> Params:
     k1, k2, k3 = jax.random.split(key, 3)
-    return {
-        "rwkv": lm.init_lm_params(k1, cfg.rwkv),
-        "vit": init_backbone_params(k2, cfg.vision, cfg.rwkv.compute_dtype),
-        "proj": init_projector_params(
+    params = {"rwkv": lm.init_lm_params(k1, cfg.rwkv)}
+    if cfg.vision.towers:  # text-only configs skip the vision stack
+        params["vit"] = init_backbone_params(k2, cfg.vision, cfg.rwkv.compute_dtype)
+        params["proj"] = init_projector_params(
             k3, cfg.proj_type, cfg.vision.embed_dim, cfg.rwkv.n_embd
-        ),
-    }
+        )
+    return params
 
 
 def encode_images(
