@@ -249,34 +249,20 @@ def set_wkv_impl(mode: str) -> None:
     _IMPL_MODE = mode
 
 
-def _select_forward(chunk, r, w_raw, k, v, a, b, initial_state):
-    T = r.shape[1]
-    use_pallas = _IMPL_MODE == "pallas" or (
-        _IMPL_MODE == "auto" and jax.default_backend() == "tpu"
-    )
-    if use_pallas:
-        from visualrwkv_tpu.ops.wkv7_pallas import wkv7_pallas
-
-        # largest supported chunk dividing T (semantics are chunk-invariant)
-        for c in (128, 64, 32, 16):
-            if T % c == 0:
-                return wkv7_pallas(r, w_raw, k, v, a, b, initial_state, chunk=c)
-    return wkv7_chunked(r, w_raw, k, v, a, b, initial_state, chunk=chunk)
+# -- jnp-chunked custom_vjp (CPU / fallback) --------------------------------
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _wkv7_dispatch(chunk, r, w_raw, k, v, a, b, initial_state):
-    return _select_forward(chunk, r, w_raw, k, v, a, b, initial_state)
+def _wkv7_cv_chunked(chunk, r, w_raw, k, v, a, b, initial_state):
+    return wkv7_chunked(r, w_raw, k, v, a, b, initial_state, chunk=chunk)
 
 
-def _wkv7_fwd(chunk, r, w_raw, k, v, a, b, initial_state):
-    out = _select_forward(chunk, r, w_raw, k, v, a, b, initial_state)
+def _cv_chunked_fwd(chunk, r, w_raw, k, v, a, b, initial_state):
+    out = wkv7_chunked(r, w_raw, k, v, a, b, initial_state, chunk=chunk)
     return out, (r, w_raw, k, v, a, b, initial_state)
 
 
-def _wkv7_bwd(chunk, residuals, cotangents):
-    # gradients via the differentiable jnp chunked path (same math; the
-    # forward value difference is bf16-level rounding)
+def _cv_chunked_bwd(chunk, residuals, cotangents):
     _, vjp = jax.vjp(
         lambda r, w, k, v, a, b, s: wkv7_chunked(r, w, k, v, a, b, s, chunk=chunk),
         *residuals,
@@ -284,7 +270,37 @@ def _wkv7_bwd(chunk, residuals, cotangents):
     return vjp(cotangents)
 
 
-_wkv7_dispatch.defvjp(_wkv7_fwd, _wkv7_bwd)
+_wkv7_cv_chunked.defvjp(_cv_chunked_fwd, _cv_chunked_bwd)
+
+
+# -- fully-fused Pallas custom_vjp (TPU) -------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _wkv7_cv_pallas(chunk, r, w_raw, k, v, a, b, initial_state):
+    from visualrwkv_tpu.ops.wkv7_pallas import wkv7_pallas
+
+    return wkv7_pallas(r, w_raw, k, v, a, b, initial_state, chunk=chunk)
+
+
+def _cv_pallas_fwd(chunk, r, w_raw, k, v, a, b, initial_state):
+    from visualrwkv_tpu.ops.wkv7_pallas import wkv7_pallas_fwd_res
+
+    y, s, zin = wkv7_pallas_fwd_res(r, w_raw, k, v, a, b, initial_state, chunk=chunk)
+    return (y, s), (r, w_raw, k, v, a, b, zin, initial_state)
+
+
+def _cv_pallas_bwd(chunk, residuals, cotangents):
+    from visualrwkv_tpu.ops.wkv7_pallas import wkv7_pallas_bwd
+
+    r, w_raw, k, v, a, b, zin, initial_state = residuals
+    dy, dstate = cotangents
+    grads = wkv7_pallas_bwd(r, w_raw, k, v, a, b, zin, dy, dstate, chunk=chunk)
+    d_init = None if initial_state is None else grads[6].astype(initial_state.dtype)
+    return (*grads[:6], d_init)
+
+
+_wkv7_cv_pallas.defvjp(_cv_pallas_fwd, _cv_pallas_bwd)
 
 
 def wkv7(
@@ -297,6 +313,15 @@ def wkv7(
     initial_state: Optional[Array] = None,
     chunk: int = DEFAULT_CHUNK,
 ) -> Tuple[Array, Array]:
-    """Entry point used by the models: Pallas-fused forward on TPU ("auto"),
-    jnp chunked elsewhere and for all gradients."""
-    return _wkv7_dispatch(chunk, r, w_raw, k, v, a, b, initial_state)
+    """Entry point used by the models: fully-fused Pallas forward AND backward
+    on TPU ("auto"); jnp chunked elsewhere. The implementation choice is made
+    at trace time."""
+    T = r.shape[1]
+    use_pallas = _IMPL_MODE == "pallas" or (
+        _IMPL_MODE == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        for c in (128, 64, 32, 16):
+            if T % c == 0:
+                return _wkv7_cv_pallas(c, r, w_raw, k, v, a, b, initial_state)
+    return _wkv7_cv_chunked(chunk, r, w_raw, k, v, a, b, initial_state)

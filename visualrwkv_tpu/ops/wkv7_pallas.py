@@ -161,3 +161,227 @@ def wkv7_pallas(
     y = jnp.transpose(y.reshape(B, H, T, N), (0, 2, 1, 3))
     final_state = jnp.swapaxes(s_out.reshape(B, H, N, N), -1, -2)
     return y, final_state
+
+
+# ---------------------------------------------------------------------------
+# Fused backward (hand-derived VJP of the chunk equations)
+# ---------------------------------------------------------------------------
+
+
+def _pick_g(BH: int) -> int:
+    for cand in (8, 4, 2):
+        if BH % cand == 0:
+            return cand
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def wkv7_pallas_fwd_res(r, w_raw, k, v, a, b, initial_state=None,
+                        chunk: int = DEFAULT_CHUNK):
+    """Forward emitting (y, final_state, chunk-input states) for the backward."""
+    B, T, H, N = r.shape
+    L = chunk
+    nc = T // L
+    BH = B * H
+
+    def flat(x):
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(BH, T, N)
+
+    rf, wf, kf, vf, af, bf = (flat(x) for x in (r, w_raw, k, v, a, b))
+    if initial_state is None:
+        z0 = jnp.zeros((BH, N, N), jnp.float32)
+    else:
+        z0 = jnp.swapaxes(initial_state.astype(jnp.float32), -1, -2).reshape(BH, N, N)
+
+    G = _pick_g(BH)
+    in_spec = pl.BlockSpec((G, L, N), lambda bh, c: (bh, c, 0), memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((G, N, N), lambda bh, c: (bh, 0, 0), memory_space=pltpu.VMEM)
+    zin_spec = pl.BlockSpec((G, 1, N, N), lambda bh, c: (bh, c, 0, 0), memory_space=pltpu.VMEM)
+    mxu_dtype = jnp.bfloat16 if r.dtype == jnp.bfloat16 else jnp.float32
+
+    def kernel(init_ref, r_ref, w_ref, k_ref, v_ref, a_ref, b_ref,
+               y_ref, s_out_ref, zin_ref, z_scratch):
+        c = pl.program_id(1)
+        for gi in range(G):
+            @pl.when(c == 0)
+            def _(gi=gi):
+                zin_ref[gi, 0] = init_ref[gi]
+
+            @pl.when(c != 0)
+            def _(gi=gi):
+                zin_ref[gi, 0] = z_scratch[gi]
+
+        _wkv7_kernel(init_ref, r_ref, w_ref, k_ref, v_ref, a_ref, b_ref,
+                     y_ref, s_out_ref, z_scratch, L=L, nc=nc, G=G,
+                     mxu_dtype=mxu_dtype)
+
+    y, s_out, zin = pl.pallas_call(
+        kernel,
+        grid=(BH // G, nc),
+        in_specs=[state_spec] + [in_spec] * 6,
+        out_specs=(in_spec, state_spec, zin_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, T, N), r.dtype),
+            jax.ShapeDtypeStruct((BH, N, N), jnp.float32),
+            jax.ShapeDtypeStruct((BH, nc, N, N), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((G, N, N), jnp.float32)],
+        interpret=jax.default_backend() == "cpu",
+    )(z0, rf, wf, kf, vf, af, bf)
+
+    y = jnp.transpose(y.reshape(B, H, T, N), (0, 2, 1, 3))
+    final_state = jnp.swapaxes(s_out.reshape(B, H, N, N), -1, -2)
+    return y, final_state, zin
+
+
+def _wkv7_bwd_kernel(zin_ref, r_ref, w_ref, k_ref, v_ref, a_ref, b_ref,
+                     dy_ref, dzf_ref,
+                     dr_ref, dw_ref, dk_ref, dv_ref, da_ref, db_ref, dz0_ref,
+                     dz_scratch, *, L: int, nc: int, G: int):
+    """Reverse-chunk-order VJP. Grid step c processes chunk nc-1-c; the state
+    cotangent dZ is carried in VMEM scratch. All math fp32 (gradients are
+    precision-sensitive; the CUDA backward also accumulates in fp32)."""
+    c = pl.program_id(1)
+    f32 = jnp.float32
+    rows = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    cum = (cols <= rows).astype(f32)
+    strict = (cols < rows).astype(f32)
+    il = cum
+    dot = functools.partial(jnp.dot, preferred_element_type=f32)
+
+    for gi in range(G):
+        @pl.when(c == 0)  # grid step 0 = LAST chunk: seed with d(final state)
+        def _(gi=gi):
+            dz_scratch[gi] = dzf_ref[gi]
+
+        r = r_ref[gi].astype(f32)
+        w = w_ref[gi].astype(f32)
+        k = k_ref[gi].astype(f32)
+        v = v_ref[gi].astype(f32)
+        a = a_ref[gi].astype(f32)
+        b = b_ref[gi].astype(f32)
+        dY = dy_ref[gi].astype(f32)
+        Z0 = zin_ref[gi, 0]
+        dZ1 = dz_scratch[gi]
+
+        # ---- recompute forward chunk quantities ----
+        logw = -jnp.exp(w)
+        g = dot(cum, logw)
+        g_prev = g - logw
+        g_last = g[-1:, :]
+        e_gp = jnp.exp(g_prev)
+        e_ng = jnp.exp(-g)
+        e_g = jnp.exp(g)
+        e_tail = jnp.exp(g_last - g)
+        e_gl = jnp.exp(g_last)  # [1, N]
+
+        at = a * e_gp
+        bh_ = b * e_ng
+        kh = k * e_ng
+        rt = r * e_g
+        bbar = b * e_tail
+        kbar = k * e_tail
+
+        m_mat = dot(at, bh_.T) * strict
+        n_mat = dot(at, kh.T) * strict
+        t_inv = _tri_inverse(m_mat, L)
+        w_pre = dot(n_mat, v) + dot(at, Z0)
+        u = dot(t_inv, w_pre)
+        sb = dot(rt, bh_.T) * il
+        sk = dot(rt, kh.T) * il
+
+        # ---- VJP ----
+        dU = dot(sb.T, dY) + dot(bbar, dZ1)
+        dWpre = dot(t_inv.T, dU)
+        dT = dot(dU, w_pre.T)
+        dM = dot(dot(t_inv.T, dT), t_inv.T) * strict
+        dN = dot(dWpre, v.T) * strict
+        dV = dot(sk.T, dY) + dot(kbar, dZ1) + dot(n_mat.T, dWpre)
+        dAt = dot(dWpre, Z0.T) + dot(dM, bh_) + dot(dN, kh)
+        dBh = dot(dM.T, at)
+        dKh = dot(dN.T, at)
+        dSB = dot(dY, u.T) * il
+        dSK = dot(dY, v.T) * il
+        dRt = dot(dY, Z0.T) + dot(dSB, bh_) + dot(dSK, kh)
+        dBh = dBh + dot(dSB.T, rt)
+        dKh = dKh + dot(dSK.T, rt)
+        dBbar = dot(u, dZ1.T)
+        dKbar = dot(v, dZ1.T)
+        dZ0 = dot(rt.T, dY) + e_gl.T * dZ1 + dot(at.T, dWpre)
+
+        # ---- raw-input grads ----
+        da = dAt * e_gp
+        db = dBh * e_ng + dBbar * e_tail
+        dk = dKh * e_ng + dKbar * e_tail
+        dr = dRt * e_g
+        dv = dV
+
+        dg = rt * dRt - bh_ * dBh - kh * dKh - bbar * dBbar - kbar * dKbar
+        dg_prev = at * dAt
+        dgl = jnp.sum(bbar * dBbar + kbar * dKbar, axis=0, keepdims=True) + (
+            e_gl * jnp.sum(dZ1 * Z0, axis=1, keepdims=True).T
+        )
+        # dlogw_s = sum_{t>=s} dg_t + sum_{t>s} dg_prev_t + dgl
+        dlw = dot(cum.T, dg) + dot(strict.T, dg_prev) + dgl
+        dw = dlw * (-jnp.exp(w))  # d logw / d w_raw = -e^{w_raw}
+
+        dr_ref[gi] = dr.astype(dr_ref.dtype)
+        dw_ref[gi] = dw.astype(dw_ref.dtype)
+        dk_ref[gi] = dk.astype(dk_ref.dtype)
+        dv_ref[gi] = dv.astype(dv_ref.dtype)
+        da_ref[gi] = da.astype(da_ref.dtype)
+        db_ref[gi] = db.astype(db_ref.dtype)
+        dz_scratch[gi] = dZ0
+
+        @pl.when(c == nc - 1)  # grid last = FIRST chunk: d(initial state)
+        def _(gi=gi, dZ0=dZ0):
+            dz0_ref[gi] = dZ0
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def wkv7_pallas_bwd(r, w_raw, k, v, a, b, zin, dy, dzfinal,
+                    chunk: int = DEFAULT_CHUNK):
+    """Backward from saved chunk-input states. Returns grads for
+    (r, w_raw, k, v, a, b, initial_state)."""
+    B, T, H, N = r.shape
+    L = chunk
+    nc = T // L
+    BH = B * H
+
+    def flat(x):
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(BH, T, N)
+
+    rf, wf, kf, vf, af, bf, dyf = (flat(x) for x in (r, w_raw, k, v, a, b, dy))
+    dzf = jnp.swapaxes(dzfinal.astype(jnp.float32), -1, -2).reshape(BH, N, N)
+
+    G = _pick_g(BH)
+    # reversed chunk order: grid step c reads/writes chunk nc-1-c
+    in_spec = pl.BlockSpec((G, L, N), lambda bh, c: (bh, nc - 1 - c, 0),
+                           memory_space=pltpu.VMEM)
+    zin_spec = pl.BlockSpec((G, 1, N, N), lambda bh, c: (bh, nc - 1 - c, 0, 0),
+                            memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((G, N, N), lambda bh, c: (bh, 0, 0),
+                              memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        functools.partial(_wkv7_bwd_kernel, L=L, nc=nc, G=G),
+        grid=(BH // G, nc),
+        in_specs=[zin_spec] + [in_spec] * 7 + [state_spec],
+        out_specs=tuple([in_spec] * 6 + [state_spec]),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((BH, T, N), r.dtype)] * 6
+            + [jax.ShapeDtypeStruct((BH, N, N), jnp.float32)]
+        ),
+        scratch_shapes=[pltpu.VMEM((G, N, N), jnp.float32)],
+        interpret=jax.default_backend() == "cpu",
+    )(zin, rf, wf, kf, vf, af, bf, dyf, dzf)
+
+    dr, dw, dk, dv, da, db, dz0 = outs
+
+    def unflat(x):
+        return jnp.transpose(x.reshape(B, H, T, N), (0, 2, 1, 3))
+
+    d_initial = jnp.swapaxes(dz0.reshape(B, H, N, N), -1, -2)
+    return (unflat(dr), unflat(dw), unflat(dk), unflat(dv), unflat(da),
+            unflat(db), d_initial)
