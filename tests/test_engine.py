@@ -93,3 +93,25 @@ def test_image_state_cache(setup):
     res = engine.generate(np.array([[11, 22]]), states=s1, max_new_tokens=3,
                           stop_tokens=(-1,))
     assert res.tokens.shape == (1, 3)
+
+
+def test_engine_x060_and_quant():
+    """The engine serves x060 models and int8-quantized params."""
+    from visualrwkv_tpu.infer.quant import quantize_lm_params
+
+    cfg = VLMConfig(
+        rwkv=RWKVConfig(n_layer=2, n_embd=64, vocab_size=66000, head_size=32,
+                        compute_dtype="float32", ctx_len=256, version="x060"),
+        vision=VisionConfig(towers=()),
+        proj_type="linear", num_token_per_image=4,
+    )
+    params = init_visualrwkv_params(jax.random.PRNGKey(0), cfg)
+    engine = InferenceEngine(params, cfg)
+    res = engine.generate(np.array([[11, 22, 33]]), max_new_tokens=4, stop_tokens=(-1,))
+    assert res.tokens.shape == (1, 4)
+
+    qparams = dict(params)
+    qparams["rwkv"] = quantize_lm_params(params["rwkv"], min_size=64 * 64)
+    engine_q = InferenceEngine(qparams, cfg)
+    res_q = engine_q.generate(np.array([[11, 22, 33]]), max_new_tokens=4, stop_tokens=(-1,))
+    assert res_q.tokens.shape == (1, 4)

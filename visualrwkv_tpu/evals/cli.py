@@ -21,6 +21,10 @@ def build_argparser():
     p.add_argument("--num_chunks", default=1, type=int)
     p.add_argument("--chunk_idx", default=0, type=int)
     p.add_argument("--max_new_tokens", default=128, type=int)
+    p.add_argument("--temperature", default=0.0, type=float, help="0 = greedy (reference eval default)")
+    p.add_argument("--top_p", default=1.0, type=float)
+    p.add_argument("--rwkv_version", default="x070", choices=["x070", "x060"])
+    p.add_argument("--quant", default="none", choices=["none", "int8"])
     p.add_argument("--n_layer", default=12, type=int)
     p.add_argument("--n_embd", default=768, type=int)
     p.add_argument("--ctx_len", default=2048, type=int)
@@ -47,7 +51,7 @@ def main(argv=None):
     cfg = VLMConfig(
         rwkv=RWKVConfig(
             n_layer=args.n_layer, n_embd=args.n_embd, vocab_size=args.vocab_size,
-            ctx_len=args.ctx_len,
+            ctx_len=args.ctx_len, version=args.rwkv_version,
         ),
         vision=VisionConfig(towers=tuple(args.vision_towers.split(","))),
         proj_type=args.proj_type,
@@ -61,6 +65,10 @@ def main(argv=None):
         rwkv_keys = {k: v for k, v in sd.items() if k.startswith(("rwkv.", "blocks.", "emb.", "head.", "ln_out"))}
         params["rwkv"] = import_rwkv_state_dict(rwkv_keys)
         logging.info("loaded %d rwkv tensors from %s", len(rwkv_keys), args.model_path)
+    if args.quant == "int8":
+        from visualrwkv_tpu.infer.quant import quantize_lm_params
+
+        params["rwkv"] = quantize_lm_params(params["rwkv"])
 
     engine = InferenceEngine(params, cfg)
     tok = get_tokenizer()
