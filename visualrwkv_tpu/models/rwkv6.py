@@ -98,7 +98,9 @@ def init_cmix_x060(key: Array, cfg: RWKVConfig, layer_id: int) -> Params:
     }
 
 
-def init_rwkv6_params(key: Array, cfg: RWKVConfig) -> Params:
+def init_rwkv6_params(key: Array, cfg: RWKVConfig, dtype=None) -> Params:
+    """dtype: optional storage dtype for all leaves (e.g. bf16 for serving
+    7B-scale models whose fp32 init would not fit in HBM)."""
     C = cfg.n_embd
     keys = jax.random.split(key, cfg.n_layer * 2 + 2)
     blocks: List[Params] = []
@@ -119,8 +121,11 @@ def init_rwkv6_params(key: Array, cfg: RWKVConfig) -> Params:
         head = jax.random.normal(keys[-1], (C, cfg.vocab_size), jnp.float32) * (
             0.5 * C**-0.5
         )
-    return {"emb": {"weight": emb}, "blocks": blocks, "ln_out": _ln_init(C),
-            "head": {"weight": head}}
+    params = {"emb": {"weight": emb}, "blocks": blocks, "ln_out": _ln_init(C),
+              "head": {"weight": head}}
+    if dtype is not None:
+        params = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
+    return params
 
 
 # ---------------------------------------------------------------------------

@@ -111,7 +111,9 @@ def _ln_init(C: int) -> Params:
     return {"weight": jnp.ones((C,), jnp.float32), "bias": jnp.zeros((C,), jnp.float32)}
 
 
-def init_rwkv7_params(key: Array, cfg: RWKVConfig) -> Params:
+def init_rwkv7_params(key: Array, cfg: RWKVConfig, dtype=None) -> Params:
+    """dtype: optional storage dtype for all leaves (e.g. bf16 for serving
+    7B-scale models whose fp32 init would not fit in HBM)."""
     C = cfg.n_embd
     keys = jax.random.split(key, cfg.n_layer * 2 + 2)
     blocks: List[Params] = []
@@ -136,12 +138,15 @@ def init_rwkv7_params(key: Array, cfg: RWKVConfig) -> Params:
         head = jax.random.normal(keys[-1], (C, cfg.vocab_size), jnp.float32) * (
             0.5 * C**-0.5
         )
-    return {
+    params = {
         "emb": {"weight": emb},
         "blocks": blocks,
         "ln_out": _ln_init(C),
         "head": {"weight": head},
     }
+    if dtype is not None:
+        params = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
+    return params
 
 
 # ---------------------------------------------------------------------------
