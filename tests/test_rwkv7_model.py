@@ -85,3 +85,15 @@ def test_grad_cp_matches(setup):
         assert rel_err(b, a) < 1e-4
         total += float(jnp.abs(a).sum())
     assert total > 0  # gradients actually flow
+
+
+def test_stacked_forward_matches(setup):
+    cfg, params = setup
+    tokens = jax.random.randint(jax.random.PRNGKey(9), (2, 16), 0, 512)
+    logits_ref, _ = m.rwkv7_forward_tokens(params, cfg, tokens)
+    sparams = m.stack_blocks(params)
+    logits_stk = m.rwkv7_forward_stacked(sparams, cfg, m.embed(params, tokens))
+    assert rel_err(logits_stk, logits_ref) < 1e-5
+    # grad_cp path agrees too
+    logits_cp = m.rwkv7_forward_stacked(sparams, cfg, m.embed(params, tokens), grad_cp=True)
+    assert rel_err(logits_cp, logits_ref) < 1e-5

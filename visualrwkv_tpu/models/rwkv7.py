@@ -405,6 +405,64 @@ def rwkv7_forward_tokens(
 
 
 # ---------------------------------------------------------------------------
+# Stacked-layer scan forward (compile-time scaling for deep models)
+# ---------------------------------------------------------------------------
+
+
+def stack_blocks(params: Params) -> Params:
+    """Stack blocks 1..L-1 into leading-axis pytrees for ``lax.scan``.
+
+    Layer 0 stays separate (it carries ln0 and defines v_first, and has no
+    v0/v1/v2). Do this ONCE outside jit; the stacked tree is what you feed to
+    :func:`rwkv7_forward_stacked`.
+    """
+    rest = params["blocks"][1:]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *rest)
+    return {
+        "emb": params["emb"],
+        "block0": params["blocks"][0],
+        "blocks_stacked": stacked,
+        "ln_out": params["ln_out"],
+        "head": params["head"],
+    }
+
+
+def rwkv7_forward_stacked(
+    sparams: Params,
+    cfg: RWKVConfig,
+    x: Array,
+    grad_cp: bool = False,
+    return_hidden: bool = False,
+) -> Array:
+    """Forward over ``stack_blocks`` output: the layer loop is ONE traced
+    ``lax.scan`` body instead of n_layer inlined copies — compile time is
+    O(1) in depth. Stateless path (training/prefill without carried state)."""
+    B, T, C = x.shape
+    pad = (-T) % cfg.chunk_len
+    if pad:
+        eos = sparams["emb"]["weight"][jnp.full((B, pad), STOP_TOKEN_INDEX, jnp.int32)]
+        x = jnp.concatenate([eos.astype(x.dtype), x], axis=1)
+
+    x, v_first, _ = block_x070(sparams["block0"], cfg, 0, x, None)
+
+    def body(carry, blk):
+        xx, vf = carry
+        fn = lambda b, xc, vc: block_x070(b, cfg, 1, xc, vc)[:2]
+        if grad_cp:
+            fn = jax.checkpoint(fn)
+        xx, vf = fn(blk, xx, vf)
+        return (xx, vf), None
+
+    (x, v_first), _ = jax.lax.scan(body, (x, v_first), sparams["blocks_stacked"])
+    x = layer_norm(sparams["ln_out"], x)
+    if pad:
+        x = x[:, pad:]
+    if return_hidden:
+        return x
+    return linear(sparams["head"], x, jnp.dtype(cfg.compute_dtype))
+
+
+# ---------------------------------------------------------------------------
 # O(1) decode step
 # ---------------------------------------------------------------------------
 
