@@ -109,3 +109,16 @@ def test_checkpoint_resume_with_optimizer(tmp_path):
         for x, y in zip(la, lb)
     )
     assert restored_any
+
+
+def test_uhd_fusion_in_encode_images():
+    cfg = tiny_cfg(uhd_fusion=True)
+    params = init_visualrwkv_params(jax.random.PRNGKey(0), cfg)
+    # projector input dim doubled
+    key0 = next(iter(params["proj"]))
+    # 2 images x 5 tiles each, single tower
+    images = {"dino": np.zeros((10, 16, 16, 3), np.uint8)}
+    from visualrwkv_tpu.models.visualrwkv import encode_images
+
+    feats = encode_images(params, cfg, images)
+    assert feats.shape == (2, 4, 64)  # N_img=2, pooled to 4 tokens, n_embd

@@ -104,6 +104,11 @@ class VLMConfig:
     bidirectional_image: bool = False  # v6.0/HD/UHD odd-layer image-span flip
     image_scanning: str = "unidirection"  # v5.1 patch scan order
     grid_size: int = -2  # v5/v6.0 grid pooling (-2 = adaptive pooling instead)
+    uhd_fusion: bool = False  # UHD global+2x2-tile fusion (doubles proj in-dim)
+
+    @property
+    def projector_in_dim(self) -> int:
+        return self.vision.embed_dim * (2 if self.uhd_fusion else 1)
 
     def replace(self, **kw) -> "VLMConfig":
         return dataclasses.replace(self, **kw)

@@ -17,7 +17,7 @@ def build_argparser():
     p.add_argument("--image_folder", default=None, type=str)
     p.add_argument("--output_file", required=True, type=str)
     p.add_argument("--dataset_name", default="", type=str)
-    p.add_argument("--image_strategy", default="single", choices=["single", "multi", "video"])
+    p.add_argument("--image_strategy", default="single", choices=["single", "multi", "video", "uhd"])
     p.add_argument("--num_chunks", default=1, type=int)
     p.add_argument("--chunk_idx", default=0, type=int)
     p.add_argument("--max_new_tokens", default=128, type=int)

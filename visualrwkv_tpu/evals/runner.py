@@ -66,6 +66,11 @@ def build_image_dict(
         n = line["text"].count("<image>")
         paths = sample_video_frames(frames, n)
         images = [Image.open(p).convert("RGB") for p in paths]
+    elif strategy == "uhd":
+        from visualrwkv_tpu.multimodal.uhd import uhd_image_to_tiles
+
+        img = Image.open(Path(image_folder) / line["image"]).convert("RGB")
+        images = uhd_image_to_tiles(img)  # [global, tl, tr, bl, br]
     else:
         img = Image.open(Path(image_folder) / line["image"]).convert("RGB")
         images = single_to_multi_images(img) if strategy == "multi" else [img]

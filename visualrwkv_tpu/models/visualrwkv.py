@@ -34,7 +34,7 @@ def init_visualrwkv_params(key: Array, cfg: VLMConfig) -> Params:
     if cfg.vision.towers:  # text-only configs skip the vision stack
         params["vit"] = init_backbone_params(k2, cfg.vision, cfg.rwkv.compute_dtype)
         params["proj"] = init_projector_params(
-            k3, cfg.proj_type, cfg.vision.embed_dim, cfg.rwkv.n_embd
+            k3, cfg.proj_type, cfg.projector_in_dim, cfg.rwkv.n_embd
         )
     return params
 
@@ -54,9 +54,25 @@ def encode_images(
       a "vtc" subtree (replaces adaptive pooling, v7.03/train.py:62);
     - patch scanning reorders when ``cfg`` has ``image_scanning`` set.
     """
-    feats = backbone_features(
-        params["vit"], cfg.vision, images, cfg.rwkv.compute_dtype, normalized
-    )
+    if cfg.uhd_fusion:
+        # UHD: images arrive as [N_img * 5, H, W, 3] per tower (global + 2x2
+        # tiles); towers fuse spatially (multimodal.uhd) instead of per-patch
+        from visualrwkv_tpu.multimodal.uhd import fuse_image_features
+        from visualrwkv_tpu.vision.backbone import backbone_tower_features
+
+        tower_feats = backbone_tower_features(
+            params["vit"], cfg.vision, images, cfg.rwkv.compute_dtype, normalized
+        )
+        per_tower = []
+        for t in cfg.vision.towers:
+            f = tower_feats[t]
+            L, D = f.shape[1], f.shape[2]
+            per_tower.append(f.reshape(-1, 5, L, D))
+        feats = fuse_image_features(per_tower)
+    else:
+        feats = backbone_features(
+            params["vit"], cfg.vision, images, cfg.rwkv.compute_dtype, normalized
+        )
     feats = jax.lax.stop_gradient(feats)
     use_vtc = cfg.n_vtc_layer > 0 and "vtc" in params
     if not use_vtc:

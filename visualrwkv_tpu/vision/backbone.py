@@ -71,6 +71,29 @@ def init_backbone_params(key: Array, cfg: VisionConfig, compute_dtype="bfloat16"
     return params
 
 
+def backbone_tower_features(
+    params: Params,
+    cfg: VisionConfig,
+    images: Dict[str, Array],
+    compute_dtype: str = "bfloat16",
+    normalized: bool = False,
+) -> Dict[str, Array]:
+    """Per-tower patch features (used by the UHD fusion path, which combines
+    towers spatially instead of concatenating per patch)."""
+    cfgs = tower_configs(cfg, compute_dtype)
+    out: Dict[str, Array] = {}
+    for name in cfg.towers:
+        x = images[name]
+        if not normalized:
+            x = normalize_uint8(x, name, jnp.dtype(compute_dtype))
+        tcfg = cfgs[name]
+        if isinstance(tcfg, SAMConfig):
+            out[name] = sam_features(params[name], tcfg, x)
+        else:
+            out[name] = vit_features(params[name], tcfg, x)
+    return out
+
+
 def backbone_features(
     params: Params,
     cfg: VisionConfig,
