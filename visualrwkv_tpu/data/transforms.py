@@ -41,6 +41,20 @@ def normalize_tower_dict(
     return {t: normalize_uint8(v, t, dtype) for t, v in images.items()}
 
 
+def letterbox_pad(img, fill=(127, 127, 127)):
+    """Pad a PIL image to square with a neutral border (v6.11's LetterboxPad
+    transform, v6.11/src/vision.py:39-198) instead of aspect-distorting resize."""
+    from PIL import Image
+
+    w, h = img.size
+    if w == h:
+        return img
+    side = max(w, h)
+    canvas = Image.new("RGB", (side, side), fill)
+    canvas.paste(img, ((side - w) // 2, (side - h) // 2))
+    return canvas
+
+
 def resize_images(x: jnp.ndarray, size: int, method: str = "bicubic") -> jnp.ndarray:
     """Device-side antialiased resize to [N, size, size, 3] (for tiling paths)."""
     import jax.image

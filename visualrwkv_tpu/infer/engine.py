@@ -127,6 +127,7 @@ class InferenceEngine:
         self.params = params
         self.cfg = cfg
         self._state_cache: Dict[str, Any] = {}
+        self._sample_counter = 0  # default-key entropy across generate() calls
         # params flow as explicit jit arguments (closure capture would bake
         # them into the executable as multi-GB constants)
         self._prefill_p = jax.jit(lambda p, x, st: _prefill(p, cfg, x, st))
@@ -197,7 +198,11 @@ class InferenceEngine:
             alpha_presence=alpha_presence,
             alpha_frequency=alpha_frequency,
         )
-        key = key if key is not None else jax.random.PRNGKey(0)
+        if key is None:
+            # vary sampling across calls (a fixed default key would make every
+            # sampled generation from the same state identical)
+            self._sample_counter += 1
+            key = jax.random.PRNGKey(self._sample_counter)
         first_logits, states = self.prefill_ids(input_ids, images, states)
         tokens, lengths, tls, tps, _ = self._decode(
             first_logits, states, key, sp=sp, max_new_tokens=max_new_tokens,
