@@ -36,36 +36,36 @@ def _wkv6_kernel(init_ref, u_ref, r_ref, w_ref, k_ref, v_ref,
     cols = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
     cum = (cols <= rows).astype(f32)
     strict = (cols < rows).astype(f32)
-    dot = functools.partial(jnp.dot, preferred_element_type=f32)
+    from visualrwkv_tpu.ops.wkv7_pallas import _bdot, _btr
 
-    for gi in range(G):
-        r = r_ref[gi].astype(f32)
-        w = w_ref[gi].astype(f32)
-        k = k_ref[gi].astype(f32)
-        v = v_ref[gi].astype(bf)
-        u = u_ref[gi].astype(f32)  # [1, N] per-head bonus
+    # batched over the G heads of this program (see wkv7_pallas)
+    r = r_ref[...].astype(f32)
+    w = w_ref[...].astype(f32)
+    k = k_ref[...].astype(f32)
+    v = v_ref[...].astype(bf)
+    u = u_ref[...].astype(f32)  # [G, 1, N] per-head bonus
 
-        logw = -jnp.exp(w)
-        g = dot(cum, logw)
-        g_prev = g - logw
-        g_last = g[-1:, :]
+    logw = -jnp.exp(w)
+    g = jnp.einsum("ts,gsn->gtn", cum, logw, preferred_element_type=f32)
+    g_prev = g - logw
+    g_last = g[:, -1:, :]
 
-        r_t = (r * jnp.exp(g_prev)).astype(bf)  # query sees pre-decay state
-        k_h = (k * jnp.exp(-g)).astype(bf)
-        k_bar = (k * jnp.exp(g_last - g)).astype(bf)
+    r_t = (r * jnp.exp(g_prev)).astype(bf)  # query sees pre-decay state
+    k_h = (k * jnp.exp(-g)).astype(bf)
+    k_bar = (k * jnp.exp(g_last - g)).astype(bf)
 
-        z = z_scratch[gi]
-        sk = (dot(r_t, k_h.T) * strict).astype(bf)
-        bonus = jnp.sum(u * k * r, axis=1, keepdims=True)  # [L, 1]
-        y = dot(r_t, z.astype(bf)) + dot(sk, v) + bonus * v.astype(f32)
-        y_ref[gi] = y.astype(y_ref.dtype)
+    z = z_scratch[...]
+    sk = (_bdot(r_t, _btr(k_h)) * strict).astype(bf)
+    bonus = jnp.sum(u * k * r, axis=2, keepdims=True)  # [G, L, 1]
+    y = _bdot(r_t, z.astype(bf)) + _bdot(sk, v) + bonus * v.astype(f32)
+    y_ref[...] = y.astype(y_ref.dtype)
 
-        z = jnp.exp(g_last).T * z + dot(k_bar.T, v)
-        z_scratch[gi] = z
+    z = _btr(jnp.exp(g_last)) * z + _bdot(_btr(k_bar), v)
+    z_scratch[...] = z
 
-        @pl.when(c == nc - 1)
-        def _():
-            s_out_ref[gi] = z
+    @pl.when(c == nc - 1)
+    def _():
+        s_out_ref[...] = z
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
