@@ -1,15 +1,19 @@
-"""Fused Pallas TPU kernel for the chunked WKV7 forward.
+"""Fused Pallas TPU kernels for the chunked WKV7 forward AND backward.
 
 The jnp chunked implementation (wkv7.py) materializes ~6 decay-adjusted
-intermediates per chunk in HBM; this kernel fuses the whole per-chunk pipeline
-in VMEM.  Per (batch*head) the sequence's chunks run as the inner grid
-dimension with the fp32 state Z = S^T carried in a VMEM scratch across grid
-steps (TPU grid iteration is sequential), so HBM traffic is exactly: read
-r/w/k/v/a/b once (bf16), write y once, plus one [N,N] state in/out.
+intermediates per chunk in HBM; these kernels fuse the whole per-chunk
+pipeline in VMEM.  Per group of G heads the sequence's chunks run as the inner
+grid dimension with the fp32 state Z = S^T carried in a VMEM scratch across
+grid steps (TPU grid iteration is sequential), so HBM traffic is exactly: read
+r/w/k/v/a/b once (bf16), write y once, plus one [N,N] state in/out.  All math
+is head-BATCHED dot_generals (~1.6x over an unrolled per-head loop).
 
-Forward-only: training uses the differentiable jnp path; this kernel serves
-prefill/inference (selected automatically in ops.wkv7.wkv7 when not tracing
-a gradient — callers pass impl="pallas").
+The backward is the hand-derived VJP of the chunk equations: the forward
+checkpoints each chunk's input state (the TPU analog of the CUDA kernel's
+_CHUNK_LEN_ state saves, wkv7_cuda.cu:44-50), and the backward walks chunks in
+reverse carrying the state cotangent in VMEM, recomputing per-chunk quantities
+and emitting all seven gradients in one kernel.  Wired through
+``ops.wkv7.wkv7``'s custom_vjp on TPU; CPU uses the jnp path.
 """
 
 from __future__ import annotations
