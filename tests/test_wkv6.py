@@ -85,3 +85,22 @@ def test_pallas_matches_reference():
     y_pal, s_pal = wkv6_pallas(*inputs, initial_state=s0, chunk=32)
     assert rel_err(y_pal, y_ref) < 1e-5
     assert rel_err(s_pal, s_ref) < 1e-5
+
+
+def test_pallas_backward_matches_autodiff():
+    from visualrwkv_tpu.ops.wkv6_pallas import wkv6_pallas_bwd, wkv6_pallas_fwd_res
+
+    inputs = make_inputs(jax.random.PRNGKey(6), B=2, T=64, H=4, N=16)
+    s0 = jax.random.normal(jax.random.PRNGKey(11), (2, 4, 16, 16), jnp.float32)
+    y, s_fin, zin = wkv6_pallas_fwd_res(*inputs, initial_state=s0, chunk=16)
+    dy = jax.random.normal(jax.random.PRNGKey(12), y.shape, jnp.float32)
+    dzf = jax.random.normal(jax.random.PRNGKey(13), s_fin.shape, jnp.float32)
+
+    def loss(*args):
+        yy, ss = wkv6_chunked(*args[:5], initial_state=args[5], chunk=16)
+        return jnp.sum(yy * dy) + jnp.sum(ss * dzf)
+
+    grads_ref = jax.grad(loss, argnums=tuple(range(6)))(*inputs, s0)
+    grads_pal = wkv6_pallas_bwd(*inputs, zin, dy, dzf, chunk=16)
+    for name, gr, gp in zip(["r", "w", "k", "v", "u", "s0"], grads_ref, grads_pal):
+        assert rel_err(gp, gr) < 1e-5, f"d{name}: {rel_err(gp, gr)}"

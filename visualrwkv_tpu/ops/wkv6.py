@@ -143,33 +143,17 @@ def wkv6_chunked(
 # ---------------------------------------------------------------------------
 
 
-def _select_forward6(chunk, r, w_raw, k, v, u, initial_state):
-    from visualrwkv_tpu.ops.wkv7 import _IMPL_MODE
-
-    T = r.shape[1]
-    use_pallas = _IMPL_MODE == "pallas" or (
-        _IMPL_MODE == "auto" and jax.default_backend() == "tpu"
-    )
-    if use_pallas:
-        from visualrwkv_tpu.ops.wkv6_pallas import wkv6_pallas
-
-        for c in (128, 64, 32, 16):
-            if T % c == 0:
-                return wkv6_pallas(r, w_raw, k, v, u, initial_state, chunk=c)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _wkv6_cv_chunked(chunk, r, w_raw, k, v, u, initial_state):
     return wkv6_chunked(r, w_raw, k, v, u, initial_state, chunk=chunk)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _wkv6_dispatch(chunk, r, w_raw, k, v, u, initial_state):
-    return _select_forward6(chunk, r, w_raw, k, v, u, initial_state)
-
-
-def _wkv6_fwd(chunk, r, w_raw, k, v, u, initial_state):
-    out = _select_forward6(chunk, r, w_raw, k, v, u, initial_state)
+def _cv6_chunked_fwd(chunk, r, w_raw, k, v, u, initial_state):
+    out = wkv6_chunked(r, w_raw, k, v, u, initial_state, chunk=chunk)
     return out, (r, w_raw, k, v, u, initial_state)
 
 
-def _wkv6_bwd(chunk, residuals, cotangents):
+def _cv6_chunked_bwd(chunk, residuals, cotangents):
     _, vjp = jax.vjp(
         lambda r, w, k, v, u, s: wkv6_chunked(r, w, k, v, u, s, chunk=chunk),
         *residuals,
@@ -177,7 +161,34 @@ def _wkv6_bwd(chunk, residuals, cotangents):
     return vjp(cotangents)
 
 
-_wkv6_dispatch.defvjp(_wkv6_fwd, _wkv6_bwd)
+_wkv6_cv_chunked.defvjp(_cv6_chunked_fwd, _cv6_chunked_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _wkv6_cv_pallas(chunk, r, w_raw, k, v, u, initial_state):
+    from visualrwkv_tpu.ops.wkv6_pallas import wkv6_pallas
+
+    return wkv6_pallas(r, w_raw, k, v, u, initial_state, chunk=chunk)
+
+
+def _cv6_pallas_fwd(chunk, r, w_raw, k, v, u, initial_state):
+    from visualrwkv_tpu.ops.wkv6_pallas import wkv6_pallas_fwd_res
+
+    y, s, zin = wkv6_pallas_fwd_res(r, w_raw, k, v, u, initial_state, chunk=chunk)
+    return (y, s), (r, w_raw, k, v, u, zin, initial_state)
+
+
+def _cv6_pallas_bwd(chunk, residuals, cotangents):
+    from visualrwkv_tpu.ops.wkv6_pallas import wkv6_pallas_bwd
+
+    r, w_raw, k, v, u, zin, initial_state = residuals
+    dy, dstate = cotangents
+    grads = wkv6_pallas_bwd(r, w_raw, k, v, u, zin, dy, dstate, chunk=chunk)
+    d_init = None if initial_state is None else grads[5].astype(initial_state.dtype)
+    return (*grads[:5], d_init)
+
+
+_wkv6_cv_pallas.defvjp(_cv6_pallas_fwd, _cv6_pallas_bwd)
 
 
 def wkv6(
@@ -189,6 +200,16 @@ def wkv6(
     initial_state: Optional[Array] = None,
     chunk: int = DEFAULT_CHUNK,
 ) -> Tuple[Array, Array]:
-    """Entry point used by the models: Pallas-fused forward on TPU ("auto"),
-    jnp chunked elsewhere and for all gradients."""
-    return _wkv6_dispatch(chunk, r, w_raw, k, v, u, initial_state)
+    """Entry point used by the models: fully-fused Pallas forward AND backward
+    on TPU ("auto"); jnp chunked elsewhere."""
+    from visualrwkv_tpu.ops.wkv7 import _IMPL_MODE
+
+    T = r.shape[1]
+    use_pallas = _IMPL_MODE == "pallas" or (
+        _IMPL_MODE == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        for c in (128, 64, 32, 16):
+            if T % c == 0:
+                return _wkv6_cv_pallas(c, r, w_raw, k, v, u, initial_state)
+    return _wkv6_cv_chunked(chunk, r, w_raw, k, v, u, initial_state)
