@@ -110,6 +110,8 @@ def _wkv7_kernel(init_ref, r_ref, w_ref, k_ref, v_ref, a_ref, b_ref,
     b_bar = (b * decay_to_end).astype(bf)
     k_bar = (k * decay_to_end).astype(bf)
 
+    # NOTE: merging paired dots into wider [L,2L] dots via concat was measured
+    # SLOWER (3.17 vs 2.34 ms) — Mosaic's concat copies outweigh the MXU fill.
     m_mat = _bdot(a_t, _btr(b_h)) * strict
     n_mat = _bdot(a_t, _btr(k_h)) * strict
     t_inv = _btri_inverse(m_mat, L).astype(bf)
