@@ -122,3 +122,17 @@ def test_uhd_fusion_in_encode_images():
 
     feats = encode_images(params, cfg, images)
     assert feats.shape == (2, 4, 64)  # N_img=2, pooled to 4 tokens, n_embd
+
+
+def test_grid_pooling_in_encode_images():
+    tiny_clip = ViTConfig(img_size=16, patch_size=8, width=32, depth=1, heads=2,
+                          mlp_dim=64, use_cls=True, num_reg=0, layerscale=False,
+                          pre_ln=True, patch_bias=False, keep_cls_feature=True)
+    cfg = tiny_cfg(grid_size=1)
+    cfg = cfg.replace(vision=VisionConfig(
+        towers=("clip",), image_size=16, clip_dim=32,
+        tower_config_overrides={"clip": tiny_clip}))
+    params = init_visualrwkv_params(jax.random.PRNGKey(0), cfg)
+    images = {"clip": np.zeros((2, 16, 16, 3), np.uint8)}
+    feats = encode_images(params, cfg, images)
+    assert feats.shape == (2, 2, 64)  # global-avg + cls tokens

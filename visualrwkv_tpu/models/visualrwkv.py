@@ -75,7 +75,13 @@ def encode_images(
         )
     feats = jax.lax.stop_gradient(feats)
     use_vtc = cfg.n_vtc_layer > 0 and "vtc" in params
-    if not use_vtc:
+    if cfg.grid_size != -2:
+        # v5/v6.0 CLIP-style grid pooling (expects a cls-keeping tower, e.g.
+        # the CLIP config with keep_cls_feature)
+        from visualrwkv_tpu.multimodal.projector import grid_pooling
+
+        feats = grid_pooling(feats, cfg.grid_size)
+    elif not use_vtc:
         feats = adaptive_pool_tokens(feats, cfg.num_token_per_image)
     feats = apply_projector(
         params["proj"], cfg.proj_type, feats, jnp.dtype(cfg.rwkv.compute_dtype)
