@@ -209,7 +209,8 @@ def wkv6(
         _IMPL_MODE == "auto" and jax.default_backend() == "tpu"
     )
     if use_pallas:
-        for c in (128, 64, 32, 16):
+        # 64 measures fastest for the wkv6 kernel (128 loses pipelining)
+        for c in (64, 128, 32, 16):
             if T % c == 0:
                 return _wkv6_cv_pallas(c, r, w_raw, k, v, u, initial_state)
     return _wkv6_cv_chunked(chunk, r, w_raw, k, v, u, initial_state)
