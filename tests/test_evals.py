@@ -179,3 +179,16 @@ def test_vqa_breakdowns():
     m = evaluate_vqa(preds, anns, answer_types={"a": "yes/no", "b": "number"})
     assert m["overall"] == 50.0
     assert m["perAnswerType"] == {"number": 0.0, "yes/no": 100.0}
+
+
+def test_bucket_pad_ids():
+    from visualrwkv_tpu.data.conversation import STOP_TOKEN_INDEX
+    from visualrwkv_tpu.evals.runner import bucket_pad_ids
+
+    ids = np.arange(1, 71, dtype=np.int64)  # length 70 -> bucket 128
+    out = bucket_pad_ids(ids, bucket=64)
+    assert out.shape == (128,)
+    assert (out[:58] == STOP_TOKEN_INDEX).all()
+    assert (out[58:] == ids).all()
+    same = bucket_pad_ids(np.arange(64, dtype=np.int64), bucket=64)
+    assert same.shape == (64,)

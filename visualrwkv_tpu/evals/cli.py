@@ -25,6 +25,8 @@ def build_argparser():
     p.add_argument("--top_p", default=1.0, type=float)
     p.add_argument("--rwkv_version", default="x070", choices=["x070", "x060"])
     p.add_argument("--quant", default="none", choices=["none", "int8"])
+    p.add_argument("--length_bucket", default=64, type=int,
+                   help="pad prompts (EOS-left) to length buckets; 16 = reference-exact padding")
     p.add_argument("--n_layer", default=12, type=int)
     p.add_argument("--n_embd", default=768, type=int)
     p.add_argument("--ctx_len", default=2048, type=int)
@@ -76,7 +78,7 @@ def main(argv=None):
     run_eval(
         engine, tok, questions, args.image_folder, args.output_file,
         dataset_name=args.dataset_name, image_strategy=args.image_strategy,
-        max_new_tokens=args.max_new_tokens,
+        max_new_tokens=args.max_new_tokens, length_bucket=args.length_bucket,
     )
 
 

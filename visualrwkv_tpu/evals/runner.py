@@ -102,6 +102,25 @@ def prepare_question(
     )
 
 
+def bucket_pad_ids(input_ids: np.ndarray, bucket: int = 64) -> np.ndarray:
+    """Left-pad prompt ids with EOS to the next length bucket.
+
+    EOS left-padding is the model's own chunk-padding semantics (reference
+    RWKV.forward, src/model.py:286-312), so results are unchanged while the
+    number of distinct compiled prefill shapes drops to the bucket count —
+    per-shape recompiles are expensive, especially over remote-TPU links.
+    """
+    T = input_ids.shape[-1]
+    target = max(bucket, -(-T // bucket) * bucket)
+    pad = target - T
+    if pad == 0:
+        return input_ids
+    return np.concatenate(
+        [np.full(input_ids.shape[:-1] + (pad,), STOP_TOKEN_INDEX, input_ids.dtype),
+         input_ids], axis=-1,
+    )
+
+
 def run_eval(
     engine: InferenceEngine,
     tokenizer,
@@ -114,6 +133,7 @@ def run_eval(
     model_id: str = "visualrwkv_tpu",
     tower_sizes: Optional[Dict[str, int]] = None,
     progress: bool = True,
+    length_bucket: int = 64,
 ) -> List[Dict]:
     """Evaluate questions, write the jsonl, return the result records."""
     cfg = engine.cfg
@@ -132,7 +152,7 @@ def run_eval(
             images = build_image_dict(line, Path(image_folder), sizes, image_strategy)
             n_img = next(iter(images.values())).shape[0]
             item = prepare_question(line, tokenizer, cfg, n_img, dataset_name)
-            ids = item["input_ids"][None, :]
+            ids = bucket_pad_ids(item["input_ids"], length_bucket)[None, :]
             res = engine.generate(
                 ids,
                 images={k: v for k, v in images.items()},
