@@ -105,6 +105,11 @@ def wkv6_chunked(
     rc, wc, kc, vc = (chunked(x) for x in (r, w_raw, k, v))
 
     logw = -jnp.exp(wc)
+    # per-step decay floor: v6 decay is unclamped upstream, and the factored
+    # exp(+-g) would overflow for |g| > ~88 per chunk; a channel decaying
+    # faster than e^{-80/L} per step has zeroed its state within the chunk
+    # anyway, so flooring is semantically negligible
+    logw = jnp.maximum(logw, -80.0 / L)
     g = jnp.cumsum(logw, axis=-2)
     g_prev = g - logw
     g_last = g[..., -1:, :]

@@ -45,7 +45,7 @@ def _wkv6_kernel(init_ref, u_ref, r_ref, w_ref, k_ref, v_ref,
     v = v_ref[...].astype(bf)
     u = u_ref[...].astype(f32)  # [G, 1, N] per-head bonus
 
-    logw = -jnp.exp(w)
+    logw = jnp.maximum(-jnp.exp(w), -80.0 / L)  # decay floor (see ops.wkv6)
     g = jnp.einsum("ts,gsn->gtn", cum, logw, preferred_element_type=f32)
     g_prev = g - logw
     g_last = g[:, -1:, :]
@@ -220,7 +220,7 @@ def _wkv6_bwd_kernel(zin_ref, u_ref, r_ref, w_ref, k_ref, v_ref, dy_ref, dzf_ref
     Z0 = zin_ref[:, 0]
     dZ1 = dz_scratch[...]
 
-    logw = -jnp.exp(w)
+    logw = jnp.maximum(-jnp.exp(w), -80.0 / L)  # decay floor (see ops.wkv6)
     g = jnp.einsum("ts,gsn->gtn", cum, logw, preferred_element_type=f32)
     g_prev = g - logw
     g_last = g[:, -1:, :]
@@ -262,7 +262,9 @@ def _wkv6_bwd_kernel(zin_ref, u_ref, r_ref, w_ref, k_ref, v_ref, dy_ref, dzf_ref
         + jnp.einsum("ts,gtn->gsn", strict, dg_prev, preferred_element_type=f32)
         + dgl
     )
-    dw = dlw * (-jnp.exp(w))
+    # decay-floor boundary: d logw / d w_raw is 0 where the floor clamps
+    active = (-jnp.exp(w)) > (-80.0 / L)
+    dw = jnp.where(active, dlw * (-jnp.exp(w)), 0.0)
 
     dr_ref[...] = dr.astype(dr_ref.dtype)
     dw_ref[...] = dw.astype(dw_ref.dtype)

@@ -321,7 +321,10 @@ def wkv7(
         _IMPL_MODE == "auto" and jax.default_backend() == "tpu"
     )
     if use_pallas:
-        for c in (128, 64, 32, 16):
+        # chunk capped at 32: the forward-substitution matrix amplifies input
+        # rounding ~prod(1+|m|) over the chunk; >=64 produced inf/garbage on
+        # real (trained) bf16 activations (see wkv7_pallas stability note)
+        for c in (32, 16):
             if T % c == 0:
                 return _wkv7_cv_pallas(c, r, w_raw, k, v, a, b, initial_state)
     return _wkv7_cv_chunked(chunk, r, w_raw, k, v, a, b, initial_state)

@@ -112,13 +112,22 @@ def _wkv7_kernel(init_ref, r_ref, w_ref, k_ref, v_ref, a_ref, b_ref,
 
     # NOTE: merging paired dots into wider [L,2L] dots via concat was measured
     # SLOWER (3.17 vs 2.34 ms) — Mosaic's concat copies outweigh the MXU fill.
-    m_mat = _bdot(a_t, _btr(b_h)) * strict
-    n_mat = _bdot(a_t, _btr(k_h)) * strict
-    t_inv = _btri_inverse(m_mat, L).astype(bf)
+    #
+    # STABILITY: the forward-substitution pipeline (M -> T=(I-M)^{-1} -> U) is
+    # cancellation-sensitive: rounding in M is amplified ~prod(1+|m|) over the
+    # chunk. M/T/U therefore stay fp32 (a_t32/bk from pre-cast values); only
+    # the bounded output/state dots use bf16 operands. Even in fp32, chunks
+    # beyond 32 can amplify bf16 INPUT rounding — the dispatcher caps at 32.
+    a_t32 = a * jnp.exp(g_prev)
+    b_h32 = b * jnp.exp(-g)
+    k_h32 = k * jnp.exp(-g)
+    m_mat = _bdot(a_t32, _btr(b_h32)) * strict
+    n_mat = _bdot(a_t32, _btr(k_h32)) * strict
+    t_inv = _btri_inverse(m_mat, L)
 
     z = z_scratch[...]  # [G, N_k, N_v] fp32
     zb = z.astype(bf)
-    u = _bdot(t_inv, (_bdot(n_mat.astype(bf), v) + _bdot(a_t, zb)).astype(bf))
+    u = _bdot(t_inv, _bdot(n_mat, v.astype(f32)) + _bdot(a_t32, z))
     sb = (_bdot(r_t, _btr(b_h)) * incl).astype(bf)
     sk = (_bdot(r_t, _btr(k_h)) * incl).astype(bf)
     ub = u.astype(bf)

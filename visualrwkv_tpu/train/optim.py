@@ -20,6 +20,34 @@ from visualrwkv_tpu.train.schedule import cosine_warmup_lr, wd_schedule
 Params = Any
 
 
+def clip_by_global_norm_f32(max_norm: float) -> optax.GradientTransformation:
+    """Global-norm clip with the norm accumulated in fp32.
+
+    ``optax.clip_by_global_norm`` squares leaves in their own dtype; with bf16
+    gradients at the billion-parameter scale the sum of squares overflows to
+    inf and the scale becomes nan.
+    """
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        sq = sum(
+            jnp.sum(jnp.square(x.astype(jnp.float32)))
+            for x in jax.tree_util.tree_leaves(updates)
+        )
+        gnorm = jnp.sqrt(sq)
+        scale = jnp.minimum(1.0, max_norm / jnp.maximum(gnorm, 1e-12))
+        updates = jax.tree_util.tree_map(
+            lambda x: (x.astype(jnp.float32) * scale).astype(x.dtype), updates
+        )
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def weight_decay_mask(params: Params) -> Params:
     """True where the squeezed parameter has >= 2 dims (gets weight decay)."""
     return jax.tree_util.tree_map(
@@ -71,7 +99,7 @@ def make_optimizer(
     @optax.inject_hyperparams
     def base(learning_rate, weight_decay):
         return optax.chain(
-            optax.clip_by_global_norm(cfg.grad_clip) if cfg.grad_clip > 0 else optax.identity(),
+            clip_by_global_norm_f32(cfg.grad_clip) if cfg.grad_clip > 0 else optax.identity(),
             optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2, eps=cfg.adam_eps),
             optax.add_decayed_weights(weight_decay, mask=wd_mask),
             optax.scale_by_learning_rate(learning_rate),

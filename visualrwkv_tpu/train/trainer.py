@@ -56,12 +56,17 @@ def create_train_state(
 
 
 def make_train_step(
-    cfg: TrainConfig, vlm_cfg: VLMConfig, opt: optax.GradientTransformation, mesh
+    cfg: TrainConfig, vlm_cfg: VLMConfig, opt: optax.GradientTransformation, mesh,
+    opt_host_shardings=None, opt_device_shardings=None,
 ) -> Callable:
     """Builds the jitted train step.
 
     batch: dict with 'input_ids' [A*B, T], 'labels' [A*B, T] and optional
     'images' (per-tower [A*N_img, H, W, 3]); A = accumulate_grad_batches.
+
+    With host-offloaded optimizer state (opt_*_shardings given), the step
+    streams the moments device->update->host via in-jit device_put
+    annotations (the DeepSpeedCPUAdam analog: HBM holds params+grads only).
     """
 
     accum = max(1, cfg.accumulate_grad_batches)
@@ -103,7 +108,17 @@ def make_train_step(
             loss = loss_sum / accum
             grads = jax.tree_util.tree_map(lambda g: g / accum, grad_sum)
 
+        if opt_device_shardings is not None:
+            opt_state = jax.tree_util.tree_map(
+                lambda x, s: jax.device_put(x, s) if hasattr(x, "shape") else x,
+                opt_state, opt_device_shardings,
+            )
         updates, new_opt_state = opt.update(grads, opt_state, state_params)
+        if opt_host_shardings is not None:
+            new_opt_state = jax.tree_util.tree_map(
+                lambda x, s: jax.device_put(x, s) if hasattr(x, "shape") else x,
+                new_opt_state, opt_host_shardings,
+            )
         new_params = optax.apply_updates(state_params, updates)
         return new_params, new_opt_state, step + 1, loss
 
@@ -144,19 +159,25 @@ class Trainer:
             p_shard = replicated_sharding(params, self.mesh)
         self.params = jax.tree_util.tree_map(jax.device_put, params, p_shard)
         state, self.opt = create_train_state(self.params, train_cfg, vlm_cfg, total_steps)
-        if train_cfg.zero_stage >= 1:
+        opt_host = opt_dev = None
+        if train_cfg.zero_stage >= 1 or train_cfg.offload_optimizer:
             o_shard = zero_sharding(state.opt_state, self.mesh)
             if train_cfg.offload_optimizer and jax.default_backend() == "tpu":
                 # DeepSpeedCPUAdam analog: optimizer moments live in pinned
-                # host memory; XLA streams them through HBM per update
-                o_shard = jax.tree_util.tree_map(
+                # host memory; the train step streams them through HBM
+                opt_dev = o_shard
+                opt_host = jax.tree_util.tree_map(
                     lambda s: s.with_memory_kind("pinned_host"), o_shard
                 )
+                o_shard = opt_host
             state.opt_state = jax.tree_util.tree_map(
                 jax.device_put, state.opt_state, o_shard
             )
         self.state = state
-        self.train_step = make_train_step(train_cfg, vlm_cfg, self.opt, self.mesh)
+        self.train_step = make_train_step(
+            train_cfg, vlm_cfg, self.opt, self.mesh,
+            opt_host_shardings=opt_host, opt_device_shardings=opt_dev,
+        )
         self.history: list = []
         from visualrwkv_tpu.utils.observability import ThroughputMeter, TrainLogWriter
 
