@@ -48,3 +48,43 @@ def test_pallas_backward_matches_autodiff():
     grads_pal = wkv7_pallas_bwd(*inputs, zin, dy, dzf, chunk=16)
     for name, gr, gp in zip("rwkvab" + "s", grads_ref, grads_pal):
         assert rel_err(gp, gr) < 1e-5, f"d{name}"
+
+
+def test_bf16_stability_adversarial():
+    """Regression for the chunk-length stability limit: with bf16 inputs whose
+    in-context-lr a ~ 0.5 and mixed decay rates (the post-init regime that
+    produced NaN at chunk 128 / garbage at chunk 64 on real activations),
+    chunk <= 32 must stay accurate. Guards the dispatch cap."""
+    key = jax.random.PRNGKey(0)
+    B, T, H, N = 2, 256, 4, 64
+    ks = jax.random.split(key, 6)
+    bf = jnp.bfloat16
+    r = (jax.random.normal(ks[0], (B, T, H, N)) * 0.7).astype(bf)
+    k = (jax.random.normal(ks[1], (B, T, H, N)) * 0.04).astype(bf)
+    v = (jax.random.normal(ks[2], (B, T, H, N)) * 0.8).astype(bf)
+    kk = jax.random.normal(ks[3], (B, T, H, N))
+    kk = (kk / jnp.linalg.norm(kk, axis=-1, keepdims=True)).astype(bf)
+    a = (-kk).astype(bf)
+    b = (kk * 0.5).astype(bf)  # sigmoid(a0=0) = 0.5 everywhere (init regime)
+    w = jax.random.uniform(ks[5], (B, T, H, N), minval=-7.0, maxval=-0.5).astype(bf)
+
+    from visualrwkv_tpu.ops.wkv7 import wkv7_reference
+    from visualrwkv_tpu.ops.wkv7_pallas import wkv7_pallas
+
+    y_ref, s_ref = wkv7_reference(*(x.astype(jnp.float32) for x in (r, w, k, v, a, b)))
+    for chunk in (16, 32):
+        y, s = wkv7_pallas(r, w, k, v, a, b, chunk=chunk)
+        assert np.isfinite(np.asarray(y, np.float32)).all(), chunk
+        assert rel_err(y.astype(jnp.float32), y_ref) < 0.05, chunk
+        assert rel_err(s, s_ref) < 0.05, chunk
+
+
+def test_dispatch_chunk_is_capped():
+    """The auto dispatcher must not select chunks > 32 (numerically unsafe on
+    trained bf16 activations)."""
+    import inspect
+
+    from visualrwkv_tpu.ops import wkv7 as mod
+
+    src = inspect.getsource(mod.wkv7)
+    assert "(32, 16)" in src
