@@ -84,7 +84,7 @@ def test_dispatch_chunk_is_capped():
     trained bf16 activations)."""
     import inspect
 
-    from visualrwkv_tpu.ops import wkv7 as mod
+    import visualrwkv_tpu.ops.wkv7 as mod
 
     src = inspect.getsource(mod.wkv7)
     assert "(32, 16)" in src
