@@ -82,9 +82,9 @@ def test_bf16_stability_adversarial():
 def test_dispatch_chunk_is_capped():
     """The auto dispatcher must not select chunks > 32 (numerically unsafe on
     trained bf16 activations)."""
+    import importlib
     import inspect
 
-    import visualrwkv_tpu.ops.wkv7 as mod
-
+    mod = importlib.import_module("visualrwkv_tpu.ops.wkv7")
     src = inspect.getsource(mod.wkv7)
     assert "(32, 16)" in src
