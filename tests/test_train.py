@@ -111,3 +111,83 @@ def test_masks():
     wd = weight_decay_mask(params)
     assert wd["rwkv"]["head"]["weight"]  # 2-D: decayed
     assert not wd["rwkv"]["blocks"][0]["ln1"]["weight"]  # 1-D: not decayed
+
+
+def test_fp32_master_accumulates_tiny_updates():
+    """bf16 params alone stall when |update| << ulp(param); with fp32 masters
+    the updates accumulate in the master and surface once they cross an ulp."""
+    from visualrwkv_tpu.train.optim import MasterFP32State, make_optimizer
+
+    import optax
+
+    params = {"w": jnp.full((8, 128), 1.0, jnp.bfloat16)}
+    grads = {"w": jnp.full((8, 128), 1.0, jnp.bfloat16)}
+    tcfg = TrainConfig(lr_init=1e-4, lr_final=1e-4, warmup_steps=0, grad_clip=0.0)
+    opt = make_optimizer(tcfg, params, total_steps=1000, n_layer=0)
+    state = opt.init(params)
+    assert isinstance(state, MasterFP32State)
+    assert state.master["w"].dtype == jnp.float32
+    # inner Adam moments must be fp32 even though params are bf16
+    adam_leaves = [
+        x for x in jax.tree_util.tree_leaves(state.inner) if hasattr(x, "dtype")
+    ]
+    assert all(x.dtype == jnp.float32 for x in adam_leaves if x.ndim == 2)
+
+    p = params
+    for _ in range(100):  # Adam update magnitude ~= lr = 1e-4; ulp@1.0 = 2^-8
+        upd, state = opt.update(grads, state, p)
+        p = optax.apply_updates(p, upd)
+    # without masters: 1.0 - 1e-4 rounds back to 1.0 every step
+    naive = jnp.bfloat16(1.0) - jnp.bfloat16(1e-4)
+    assert float(naive) == 1.0
+    # with masters the ~100 * 1e-4 drift is visible in the bf16 params
+    assert float(p["w"][0, 0]) < 1.0 - 5e-3
+    # bf16 params track the master to <= 1 ulp
+    cast = state.master["w"].astype(jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(cast), np.asarray(p["w"]))
+
+
+def test_bf16_param_training_matches_fp32():
+    """Full trainer with param_dtype=bfloat16: loss decreases and tracks the
+    fp32 run; optimizer state carries fp32 masters; checkpoint round-trips."""
+    cfg = tiny_vlm_cfg()
+    params = init_visualrwkv_params(jax.random.PRNGKey(0), cfg)
+    fixed = make_batch(jax.random.PRNGKey(1))
+    mesh = make_mesh()
+
+    histories = {}
+    trainers = {}
+    for pd in ("float32", "bfloat16"):
+        tcfg = TrainConfig(
+            lr_init=1e-2, lr_final=1e-2, epoch_steps=8, epoch_count=1,
+            micro_bsz=8, grad_cp=True, zero_stage=1, grad_clip=1.0,
+            param_dtype=pd,
+        )
+        tr = Trainer(cfg, tcfg, jax.tree_util.tree_map(jnp.copy, params), mesh=mesh)
+        tr.run_epoch(lambda s: fixed, epoch=0)
+        histories[pd] = [h["loss"] for h in tr.history]
+        trainers[pd] = tr
+
+    bf = histories["bfloat16"]
+    assert bf[-1] < bf[0], bf
+    assert abs(bf[-1] - histories["float32"][-1]) < 0.15, histories
+
+    tr = trainers["bfloat16"]
+    leaf = jax.tree_util.tree_leaves(tr.state.params)[0]
+    assert leaf.dtype == jnp.bfloat16
+    assert tr.state.opt_state.master["rwkv"]["head"]["weight"].dtype == jnp.float32
+
+    import tempfile
+    from pathlib import Path
+
+    with tempfile.TemporaryDirectory() as td:
+        path = str(Path(td) / "ckpt")
+        tr.save_checkpoint(path)
+        before = np.asarray(tr.state.opt_state.master["rwkv"]["head"]["weight"])
+        tr.state.opt_state = jax.tree_util.tree_map(
+            lambda x: jnp.zeros_like(x) if hasattr(x, "shape") else x,
+            tr.state.opt_state,
+        )
+        tr.load_checkpoint(path)
+        after = np.asarray(tr.state.opt_state.master["rwkv"]["head"]["weight"])
+        np.testing.assert_array_equal(before, after)

@@ -144,4 +144,7 @@ class TrainConfig:
     # host-offloaded optimizer state (DeepSpeedCPUAdam analog): places m/v in
     # pinned host memory via memory_kind; TPU backends only
     offload_optimizer: bool = False
+    # parameter storage dtype: "float32" (default) or "bfloat16" (params +
+    # grads in bf16, fp32 master weights kept in the optimizer state)
+    param_dtype: str = "float32"
     wandb_project: str = ""

@@ -58,6 +58,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--n_data", default=None, type=int, help="data-parallel mesh size")
     p.add_argument("--dummy", action="store_true", help="dummy-data smoke run")
     p.add_argument("--dtype", default="bfloat16", type=str)
+    p.add_argument(
+        "--param_dtype", default="float32", choices=["float32", "bfloat16", "float16"],
+        help="parameter storage dtype; below-fp32 keeps fp32 masters in opt state",
+    )
     return p
 
 
@@ -85,7 +89,7 @@ def make_configs(args):
         epoch_begin=args.epoch_begin, epoch_save=args.epoch_save,
         grad_cp=bool(args.grad_cp), freeze_rwkv_layers=args.freeze_rwkv,
         freeze_emb=bool(args.freeze_emb), freeze_proj=bool(args.freeze_proj),
-        zero_stage=args.zero_stage,
+        zero_stage=args.zero_stage, param_dtype=args.param_dtype,
     )
     return vlm_cfg, tcfg
 

@@ -8,7 +8,7 @@ plus global-norm clipping, schedule injection, and freezing masks
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +44,88 @@ def clip_by_global_norm_f32(max_norm: float) -> optax.GradientTransformation:
             lambda x: (x.astype(jnp.float32) * scale).astype(x.dtype), updates
         )
         return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+class MasterFP32State(NamedTuple):
+    """State of :func:`with_fp32_master`: fp32 master weights + inner state."""
+
+    master: Any
+    inner: Any
+
+
+def with_fp32_master(
+    inner: optax.GradientTransformation, train_mask: Params
+) -> optax.GradientTransformation:
+    """Mixed-precision wrapper: fp32 master weights for low-precision params.
+
+    The large-scale bf16 recipe (what DeepSpeed fp16/bf16 modes do around the
+    reference's ZeRO optimizer): model parameters are stored in bf16 — halving
+    param HBM and gradient all-reduce bytes — while the optimizer keeps an
+    fp32 master copy of each trainable low-precision leaf.  Gradients are
+    upcast to fp32 before the inner transformation, so Adam moments and weight
+    decay also run in fp32; without this, per-step updates of magnitude
+    ``lr << ulp(param)`` round to zero and training silently stalls.
+
+    Masters are kept ONLY for trainable leaves whose dtype is not float32
+    (frozen and fp32 leaves pass straight through), so the wrapper is a
+    near-no-op for fp32 training.  Master leaves live in the optimizer state
+    and therefore inherit ZeRO-1 sharding / pinned-host offload untouched.
+
+    The emitted update is the fp32 delta that moves the low-precision param to
+    ``cast(new_master)``; after ``optax.apply_updates`` the param matches the
+    cast master to <= 1 ulp (the delta itself is rounded once), and the error
+    does not accumulate because the master is the source of truth.
+    """
+    f32 = jnp.float32
+    _node = optax.MaskedNode
+    _is_node = lambda x: isinstance(x, _node)
+
+    def _needs_master(trainable, p) -> bool:
+        return bool(trainable) and jnp.asarray(p).dtype != f32
+
+    def init_fn(params):
+        master = jax.tree_util.tree_map(
+            lambda t, p: p.astype(f32) if _needs_master(t, p) else _node(),
+            train_mask,
+            params,
+        )
+        # init the inner transform against fp32 shapes so Adam moments are fp32
+        inner_state = inner.init(
+            jax.tree_util.tree_map(lambda p: jax.ShapeDtypeStruct(jnp.shape(p), f32), params)
+        )
+        return MasterFP32State(master=master, inner=inner_state)
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("with_fp32_master requires params")
+        g32 = jax.tree_util.tree_map(lambda g: g.astype(f32), updates)
+        full32 = jax.tree_util.tree_map(
+            lambda m, p: p.astype(f32) if _is_node(m) else m,
+            state.master,
+            params,
+            is_leaf=_is_node,
+        )
+        upd, new_inner = inner.update(g32, state.inner, full32)
+        new_master = jax.tree_util.tree_map(
+            lambda m, f, u: _node() if _is_node(m) else f + u,
+            state.master,
+            full32,
+            upd,
+            is_leaf=_is_node,
+        )
+        out = jax.tree_util.tree_map(
+            lambda m, nm, p, u: u
+            if _is_node(m)
+            else nm.astype(p.dtype).astype(f32) - p.astype(f32),
+            state.master,
+            new_master,
+            params,
+            upd,
+            is_leaf=_is_node,
+        )
+        return out, MasterFP32State(master=new_master, inner=new_inner)
 
     return optax.GradientTransformation(init_fn, update_fn)
 
@@ -113,4 +195,16 @@ def make_optimizer(
             lambda a, b: bool(a) and bool(b), mask, extra_trainable_mask
         )
     labels = jax.tree_util.tree_map(lambda t: "train" if t else "freeze", mask)
-    return optax.multi_transform({"train": opt, "freeze": optax.set_to_zero()}, labels)
+    tx = optax.multi_transform({"train": opt, "freeze": optax.set_to_zero()}, labels)
+
+    # mixed precision: if any trainable leaf is stored below fp32, keep fp32
+    # master weights in the optimizer state (DeepSpeed bf16-mode analog)
+    any_low = any(
+        bool(t) and jnp.asarray(p).dtype != jnp.float32
+        for t, p in zip(
+            jax.tree_util.tree_leaves(mask), jax.tree_util.tree_leaves(params)
+        )
+    )
+    if any_low:
+        tx = with_fp32_master(tx, mask)
+    return tx

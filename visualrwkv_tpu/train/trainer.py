@@ -145,6 +145,18 @@ class Trainer:
         total_steps = (train_cfg.epoch_begin + train_cfg.epoch_count) * train_cfg.epoch_steps
         self.total_steps = total_steps
 
+        # mixed precision: store params (and hence grads + all-reduces) in
+        # bf16; make_optimizer detects low-precision trainable leaves and adds
+        # fp32 master weights to the optimizer state
+        pd = jnp.dtype(train_cfg.param_dtype)
+        if pd != jnp.float32:
+            params = jax.tree_util.tree_map(
+                lambda p: p.astype(pd)
+                if jnp.issubdtype(jnp.asarray(p).dtype, jnp.floating)
+                else p,
+                params,
+            )
+
         # placement: params replicated, FSDP-sharded (zero_stage>=3), or
         # tensor-parallel over the model axis; optimizer state ZeRO-1 sharded
         if self.mesh.shape.get("model", 1) > 1:
