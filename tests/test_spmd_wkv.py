@@ -1,0 +1,103 @@
+"""SPMD partitioning of the WKV ops (ops.wkv7.wkv_spmd / set_wkv_spmd).
+
+The recurrence is independent per (batch, head); under a declared mesh the
+dispatchers shard_map the kernel with batch on the data axis and heads on the
+model (tensor-parallel) axis — zero collectives. These tests validate that the
+wrapped dispatch is numerically identical (fwd + grads) to the unwrapped path
+on the 8-device virtual CPU mesh, including non-divisible-shape fallback.
+"""
+
+import importlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.test_wkv7 import make_inputs, rel_err
+from visualrwkv_tpu.parallel.mesh import make_mesh
+
+wkv7_mod = importlib.import_module("visualrwkv_tpu.ops.wkv7")
+wkv6_mod = importlib.import_module("visualrwkv_tpu.ops.wkv6")
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4)])
+def test_wkv7_spmd_matches_reference(mesh_shape):
+    n_data, n_model = mesh_shape
+    mesh = make_mesh(n_data=n_data, n_model=n_model)
+    inputs = make_inputs(jax.random.PRNGKey(0), B=8, T=64, H=4, N=16)
+    y_ref, s_ref = wkv7_mod.wkv7_reference(*inputs)
+    with wkv7_mod.wkv_spmd(mesh):
+        y, s = jax.jit(wkv7_mod.wkv7)(*inputs)
+    assert rel_err(y, y_ref) < 1e-5
+    assert rel_err(s, s_ref) < 1e-5
+
+
+def test_wkv7_spmd_gradients_match_unwrapped():
+    mesh = make_mesh(n_data=4, n_model=2)
+    inputs = make_inputs(jax.random.PRNGKey(1), B=4, T=64, H=4, N=16)
+
+    def loss(*args):
+        y, s = wkv7_mod.wkv7(*args)
+        return jnp.sum(y * y) + jnp.sum(s * s)
+
+    g_plain = jax.grad(loss, argnums=tuple(range(6)))(*inputs)
+    with wkv7_mod.wkv_spmd(mesh):
+        g_spmd = jax.jit(jax.grad(loss, argnums=tuple(range(6))))(*inputs)
+    for gp, gs in zip(g_plain, g_spmd):
+        assert rel_err(gs, gp) < 1e-5
+
+
+def test_wkv7_spmd_initial_state_grad():
+    mesh = make_mesh(n_data=2, n_model=2)
+    B, H, N = 2, 4, 16
+    inputs = make_inputs(jax.random.PRNGKey(2), B=B, T=32, H=H, N=N)
+    s0 = jax.random.normal(jax.random.PRNGKey(3), (B, H, N, N), jnp.float32)
+
+    def loss(s0):
+        y, s = wkv7_mod.wkv7(*inputs, initial_state=s0)
+        return jnp.sum(y * y) + jnp.sum(s * s)
+
+    g_plain = jax.grad(loss)(s0)
+    with wkv7_mod.wkv_spmd(mesh):
+        g_spmd = jax.jit(jax.grad(loss))(s0)
+    assert rel_err(g_spmd, g_plain) < 1e-5
+
+
+def test_wkv6_spmd_matches_reference():
+    mesh = make_mesh(n_data=4, n_model=2)
+    r, w, k, v, _, _ = make_inputs(jax.random.PRNGKey(4), B=4, T=64, H=4, N=16)
+    u = jax.random.normal(jax.random.PRNGKey(5), (4, 16), jnp.float32) * 0.3
+    y_ref, s_ref = wkv6_mod.wkv6_reference(r, w, k, v, u)
+
+    def loss(r, w, k, v, u):
+        y, s = wkv6_mod.wkv6(r, w, k, v, u)
+        return jnp.sum(y * y) + jnp.sum(s * s)
+
+    g_plain = jax.grad(loss, argnums=(0, 2, 3, 4))(r, w, k, v, u)
+    with wkv7_mod.wkv_spmd(mesh):
+        y, s = jax.jit(wkv6_mod.wkv6)(r, w, k, v, u)
+        g_spmd = jax.jit(jax.grad(loss, argnums=(0, 2, 3, 4)))(r, w, k, v, u)
+    assert rel_err(y, y_ref) < 1e-5
+    assert rel_err(s, s_ref) < 1e-5
+    for gp, gs in zip(g_plain, g_spmd):
+        assert rel_err(gs, gp) < 1e-5
+
+
+def test_spmd_fallback_on_indivisible_shapes():
+    # H=3 does not divide the model axis; dispatch must fall back (and match).
+    mesh = make_mesh(n_data=4, n_model=2)
+    inputs = make_inputs(jax.random.PRNGKey(6), B=4, T=32, H=3, N=16)
+    y_ref, s_ref = wkv7_mod.wkv7_reference(*inputs)
+    with wkv7_mod.wkv_spmd(mesh):
+        y, s = jax.jit(wkv7_mod.wkv7)(*inputs)
+    assert rel_err(y, y_ref) < 1e-5
+    assert rel_err(s, s_ref) < 1e-5
+
+
+def test_spmd_scope_restores():
+    mesh = make_mesh(n_data=8, n_model=1)
+    assert wkv7_mod._WKV_SPMD is None
+    with wkv7_mod.wkv_spmd(mesh):
+        assert wkv7_mod._WKV_SPMD is not None
+    assert wkv7_mod._WKV_SPMD is None

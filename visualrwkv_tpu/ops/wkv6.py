@@ -206,16 +206,39 @@ def wkv6(
     chunk: int = DEFAULT_CHUNK,
 ) -> Tuple[Array, Array]:
     """Entry point used by the models: fully-fused Pallas forward AND backward
-    on TPU ("auto"); jnp chunked elsewhere."""
-    from visualrwkv_tpu.ops.wkv7 import _IMPL_MODE
+    on TPU ("auto"); jnp chunked elsewhere. SPMD-partitioned per (batch, head)
+    under a mesh declared via ``ops.wkv7.set_wkv_spmd``."""
+    from visualrwkv_tpu.ops.wkv7 import _IMPL_MODE, _spmd_axes
 
     T = r.shape[1]
     use_pallas = _IMPL_MODE == "pallas" or (
         _IMPL_MODE == "auto" and jax.default_backend() == "tpu"
     )
+    fn_cv, eff_chunk = _wkv6_cv_chunked, chunk
     if use_pallas:
         # 64 measures fastest for the wkv6 kernel (128 loses pipelining)
         for c in (64, 128, 32, 16):
             if T % c == 0:
-                return _wkv6_cv_pallas(c, r, w_raw, k, v, u, initial_state)
-    return _wkv6_cv_chunked(chunk, r, w_raw, k, v, u, initial_state)
+                fn_cv, eff_chunk = _wkv6_cv_pallas, c
+                break
+
+    spmd = _spmd_axes(r.shape[0], r.shape[2])
+    if spmd is None:
+        return fn_cv(eff_chunk, r, w_raw, k, v, u, initial_state)
+
+    from jax.sharding import PartitionSpec as P
+
+    mesh, bs, hs = spmd
+    B, _, H, N = r.shape
+    if initial_state is None:
+        initial_state = jnp.zeros((B, H, N, N), jnp.float32)
+    xs, ss = P(bs, None, hs, None), P(bs, hs, None, None)
+    us = P(hs, None)  # bonus u is per-head [H, N]
+    f = jax.shard_map(
+        functools.partial(fn_cv, eff_chunk),
+        mesh=mesh,
+        in_specs=(xs, xs, xs, xs, us, ss),
+        out_specs=(xs, ss),
+        check_vma=False,
+    )
+    return f(r, w_raw, k, v, u, initial_state)

@@ -45,6 +45,7 @@ range for L <= 64.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Optional, Tuple
 
@@ -249,6 +250,55 @@ def set_wkv_impl(mode: str) -> None:
     _IMPL_MODE = mode
 
 
+# -- SPMD partitioning --------------------------------------------------------
+#
+# The WKV recurrence is independent per (batch, head): it partitions over a
+# device mesh with ZERO communication.  XLA cannot infer that for a Pallas
+# custom call (it would all-gather the operands), so when a mesh is declared
+# here the dispatchers wrap the kernel in `jax.shard_map` with batch mapped to
+# the data axis and heads mapped to the model (tensor-parallel) axis.  This is
+# what lets tensor-parallel training keep the fused kernels (the reference has
+# no TP at all — SURVEY §2.4; this is our optional extension done TPU-natively).
+
+_WKV_SPMD: Optional[Tuple] = None  # (mesh, batch_axis, head_axis)
+
+
+def set_wkv_spmd(mesh, batch_axis: str = "data", head_axis: str = "model") -> None:
+    """Declare the mesh over which WKV operands arrive sharded.
+
+    Pass ``mesh=None`` to restore single-device dispatch. Shapes that don't
+    divide the mesh axes fall back to unwrapped (GSPMD-replicated) calls.
+    """
+    global _WKV_SPMD
+    _WKV_SPMD = None if mesh is None else (mesh, batch_axis, head_axis)
+
+
+@contextlib.contextmanager
+def wkv_spmd(mesh, batch_axis: str = "data", head_axis: str = "model"):
+    """Scoped version of :func:`set_wkv_spmd` (affects traces begun inside)."""
+    global _WKV_SPMD
+    prev = _WKV_SPMD
+    set_wkv_spmd(mesh, batch_axis, head_axis)
+    try:
+        yield
+    finally:
+        _WKV_SPMD = prev
+
+
+def _spmd_axes(B: int, H: int):
+    """Returns (batch_axis|None, head_axis|None) if SPMD wrapping applies."""
+    if _WKV_SPMD is None:
+        return None
+    mesh, baxis, haxis = _WKV_SPMD
+    nb = mesh.shape.get(baxis, 1)
+    nh = mesh.shape.get(haxis, 1)
+    if nb * nh == 1:
+        return None
+    if (nb > 1 and B % nb) or (nh > 1 and H % nh):
+        return None
+    return mesh, (baxis if nb > 1 else None), (haxis if nh > 1 else None)
+
+
 # -- jnp-chunked custom_vjp (CPU / fallback) --------------------------------
 
 
@@ -315,16 +365,38 @@ def wkv7(
 ) -> Tuple[Array, Array]:
     """Entry point used by the models: fully-fused Pallas forward AND backward
     on TPU ("auto"); jnp chunked elsewhere. The implementation choice is made
-    at trace time."""
+    at trace time. Under a declared mesh (:func:`set_wkv_spmd`) the call is
+    shard_map-partitioned per (batch, head) with no collectives."""
     T = r.shape[1]
     use_pallas = _IMPL_MODE == "pallas" or (
         _IMPL_MODE == "auto" and jax.default_backend() == "tpu"
     )
+    fn_cv, eff_chunk = _wkv7_cv_chunked, chunk
     if use_pallas:
         # chunk capped at 32: the forward-substitution matrix amplifies input
         # rounding ~prod(1+|m|) over the chunk; >=64 produced inf/garbage on
         # real (trained) bf16 activations (see wkv7_pallas stability note)
         for c in (32, 16):
             if T % c == 0:
-                return _wkv7_cv_pallas(c, r, w_raw, k, v, a, b, initial_state)
-    return _wkv7_cv_chunked(chunk, r, w_raw, k, v, a, b, initial_state)
+                fn_cv, eff_chunk = _wkv7_cv_pallas, c
+                break
+
+    spmd = _spmd_axes(r.shape[0], r.shape[2])
+    if spmd is None:
+        return fn_cv(eff_chunk, r, w_raw, k, v, a, b, initial_state)
+
+    from jax.sharding import PartitionSpec as P
+
+    mesh, bs, hs = spmd
+    B, _, H, N = r.shape
+    if initial_state is None:
+        initial_state = jnp.zeros((B, H, N, N), jnp.float32)
+    xs, ss = P(bs, None, hs, None), P(bs, hs, None, None)
+    f = jax.shard_map(
+        functools.partial(fn_cv, eff_chunk),
+        mesh=mesh,
+        in_specs=(xs,) * 6 + (ss,),
+        out_specs=(xs, ss),
+        check_vma=False,
+    )
+    return f(r, w_raw, k, v, a, b, initial_state)

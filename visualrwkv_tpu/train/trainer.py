@@ -28,6 +28,7 @@ import optax
 
 from visualrwkv_tpu.config import TrainConfig, VLMConfig
 from visualrwkv_tpu.models.visualrwkv import training_loss
+from visualrwkv_tpu.ops.wkv7 import wkv_spmd
 from visualrwkv_tpu.parallel.mesh import (
     make_mesh,
     replicated_sharding,
@@ -140,6 +141,7 @@ class Trainer:
         self.vlm_cfg = vlm_cfg
         self.cfg = train_cfg
         self.mesh = mesh or make_mesh()
+        self._multi_device = int(np.prod(list(self.mesh.shape.values()))) > 1
         self.proj_dir = proj_dir
         self.log_every = log_every
         total_steps = (train_cfg.epoch_begin + train_cfg.epoch_count) * train_cfg.epoch_steps
@@ -160,10 +162,8 @@ class Trainer:
         # placement: params replicated, FSDP-sharded (zero_stage>=3), or
         # tensor-parallel over the model axis; optimizer state ZeRO-1 sharded
         if self.mesh.shape.get("model", 1) > 1:
-            from visualrwkv_tpu.ops.wkv7 import set_wkv_impl
             from visualrwkv_tpu.parallel.mesh import tensor_parallel_sharding
 
-            set_wkv_impl("chunked")  # the fused Pallas fwd is not SPMD-partitioned
             p_shard = tensor_parallel_sharding(params, self.mesh)
         elif train_cfg.zero_stage >= 3:
             p_shard = zero_sharding(params, self.mesh)
@@ -211,7 +211,11 @@ class Trainer:
                 for k, v in batch.items()
                 if k in ("input_ids", "labels", "images")
             }
-            with self.mesh:
+            # wkv_spmd: the fused Pallas WKV kernels are shard_map-partitioned
+            # per (batch, head) inside the step — no collectives, and they stay
+            # partitioned under both DP (batch on `data`) and TP (heads on
+            # `model`) instead of being GSPMD-replicated as opaque custom calls
+            with self.mesh, wkv_spmd(self.mesh if self._multi_device else None):
                 device_batch = shard_batch(batch, self.mesh)
                 params, opt_state, step, loss = self.train_step(
                     params, opt_state, step, device_batch
