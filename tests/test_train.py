@@ -191,3 +191,81 @@ def test_bf16_param_training_matches_fp32():
         tr.load_checkpoint(path)
         after = np.asarray(tr.state.opt_state.master["rwkv"]["head"]["weight"])
         np.testing.assert_array_equal(before, after)
+
+
+def test_stacked_layers_training_matches_list_layout():
+    """stacked_layers=True (blocks 1..L-1 in one lax.scan body) must produce
+    the same losses and — after unstacking — the same parameters as the
+    canonical list-of-blocks layout, and checkpoints must stay canonical."""
+    from visualrwkv_tpu.models.rwkv7 import unstack_blocks
+
+    cfg = tiny_vlm_cfg()
+    assert cfg.rwkv.n_layer >= 2
+    params = init_visualrwkv_params(jax.random.PRNGKey(0), cfg)
+    fixed = make_batch(jax.random.PRNGKey(1))
+    mesh = make_mesh(n_data=1)
+
+    out = {}
+    for stacked in (False, True):
+        tcfg = TrainConfig(
+            lr_init=1e-2, lr_final=1e-2, epoch_steps=4, epoch_count=1,
+            micro_bsz=8, grad_cp=True, zero_stage=0, grad_clip=1.0,
+            stacked_layers=stacked,
+        )
+        tr = Trainer(cfg, tcfg, jax.tree_util.tree_map(jnp.copy, params), mesh=mesh)
+        assert tr.stacked == stacked
+        tr.run_epoch(lambda s: fixed, epoch=0)
+        p = tr.state.params
+        if stacked:
+            assert "blocks_stacked" in p["rwkv"]
+            p = dict(p)
+            p["rwkv"] = unstack_blocks(p["rwkv"])
+        out[stacked] = (
+            [h["loss"] for h in tr.history],
+            jax.tree_util.tree_map(np.asarray, p),
+            tr,
+        )
+
+    losses_list, params_list, _ = out[False]
+    losses_stk, params_stk, tr_stk = out[True]
+    np.testing.assert_allclose(losses_stk, losses_list, rtol=1e-4, atol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params_list), jax.tree_util.tree_leaves(params_stk)
+    ):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+    # checkpoint round-trip: saved canonical, reloadable into the stacked run
+    import tempfile
+    from pathlib import Path
+
+    with tempfile.TemporaryDirectory() as td:
+        path = str(Path(td) / "ckpt")
+        tr_stk.save_checkpoint(path)
+        import orbax.checkpoint as ocp
+
+        raw = ocp.StandardCheckpointer().restore(path)
+        assert "blocks_stacked" not in raw["params"]["rwkv"]  # canonical layout
+        before = np.asarray(
+            jax.tree_util.tree_leaves(tr_stk.state.params["rwkv"]["blocks_stacked"])[0]
+        )
+        tr_stk.state.params = jax.tree_util.tree_map(
+            jnp.zeros_like, tr_stk.state.params
+        )
+        tr_stk.load_checkpoint(path)
+        after = np.asarray(
+            jax.tree_util.tree_leaves(tr_stk.state.params["rwkv"]["blocks_stacked"])[0]
+        )
+        np.testing.assert_array_equal(before, after)
+
+
+def test_stacked_layers_ineligible_configs_fall_back():
+    cfg = tiny_vlm_cfg()
+    params = init_visualrwkv_params(jax.random.PRNGKey(0), cfg)
+    # partial layer freeze needs per-layer addressing -> stays list layout
+    tcfg = TrainConfig(
+        lr_init=1e-3, lr_final=1e-3, epoch_steps=1, epoch_count=1,
+        stacked_layers=True, freeze_rwkv_layers=1,
+    )
+    tr = Trainer(cfg, tcfg, jax.tree_util.tree_map(jnp.copy, params), mesh=make_mesh(n_data=1))
+    assert not tr.stacked
+    assert "blocks" in tr.state.params["rwkv"]

@@ -147,4 +147,10 @@ class TrainConfig:
     # parameter storage dtype: "float32" (default) or "bfloat16" (params +
     # grads in bf16, fp32 master weights kept in the optimizer state)
     param_dtype: str = "float32"
+    # stacked-layer parameter layout: blocks 1..L-1 stored as leading-axis
+    # stacks so the layer loop compiles as ONE lax.scan body (compile time
+    # O(1) in depth; ~5x faster at 1B5). x070-only; checkpoints stay in the
+    # canonical list-of-blocks layout. Ignored when incompatible options are
+    # set (partial layer freeze, tensor parallelism, bidirectional image).
+    stacked_layers: bool = False
     wandb_project: str = ""

@@ -36,6 +36,17 @@ def lm_forward(
     grad_cp: bool = False,
     return_hidden: bool = False,
 ) -> Tuple[Array, List[LayerState]]:
+    if rwkv7.is_stacked(params):
+        # layer loop as ONE lax.scan body: compile time O(1) in depth
+        # (training/prefill layout, see rwkv7.stack_blocks). Stateless.
+        if states is not None:
+            raise ValueError("stacked layout does not carry recurrent states")
+        if cfg.version != "x070":
+            raise ValueError("stacked layout is x070-only")
+        out = rwkv7.rwkv7_forward_stacked(
+            params, cfg, x, grad_cp=grad_cp, return_hidden=return_hidden
+        )
+        return out, []
     if cfg.version == "x070":
         return rwkv7.rwkv7_forward(params, cfg, x, states, grad_cp, return_hidden)
     if cfg.version == "x060":

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from visualrwkv_tpu.config import RWKVConfig
-from visualrwkv_tpu.ops.wkv7 import wkv7, wkv7_step
+from visualrwkv_tpu.ops.wkv7 import wkv7, wkv7_step, wkv7_step_auto
 
 Array = jax.Array
 Params = Dict[str, Any]
@@ -427,6 +427,26 @@ def stack_blocks(params: Params) -> Params:
     }
 
 
+def unstack_blocks(sparams: Params) -> Params:
+    """Inverse of :func:`stack_blocks`: back to the canonical list-of-blocks
+    tree (the checkpoint format). Do this outside jit."""
+    stacked = sparams["blocks_stacked"]
+    n_rest = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    rest = [
+        jax.tree_util.tree_map(lambda x, i=i: x[i], stacked) for i in range(n_rest)
+    ]
+    return {
+        "emb": sparams["emb"],
+        "blocks": [sparams["block0"], *rest],
+        "ln_out": sparams["ln_out"],
+        "head": sparams["head"],
+    }
+
+
+def is_stacked(params: Params) -> bool:
+    return "blocks_stacked" in params
+
+
 def rwkv7_forward_stacked(
     sparams: Params,
     cfg: RWKVConfig,
@@ -522,7 +542,7 @@ def rwkv7_decode_step_embed(
         k = k * (1 + (a - 1) * p["k_a"])
 
         shp = (B, H, N)
-        new_wkv, y = wkv7_step(
+        new_wkv, y = wkv7_step_auto(
             st.wkv,
             r.reshape(shp),
             w_raw.reshape(shp),

@@ -62,6 +62,11 @@ def build_argparser() -> argparse.ArgumentParser:
         "--param_dtype", default="float32", choices=["float32", "bfloat16", "float16"],
         help="parameter storage dtype; below-fp32 keeps fp32 masters in opt state",
     )
+    p.add_argument(
+        "--stacked_layers", default=0, type=int,
+        help="stack blocks 1..L-1 so the layer loop is one lax.scan body "
+        "(O(1)-in-depth compile time; x070, no partial freeze/TP)",
+    )
     return p
 
 
@@ -90,6 +95,7 @@ def make_configs(args):
         grad_cp=bool(args.grad_cp), freeze_rwkv_layers=args.freeze_rwkv,
         freeze_emb=bool(args.freeze_emb), freeze_proj=bool(args.freeze_proj),
         zero_stage=args.zero_stage, param_dtype=args.param_dtype,
+        stacked_layers=bool(args.stacked_layers),
     )
     return vlm_cfg, tcfg
 

@@ -131,10 +131,18 @@ def with_fp32_master(
 
 
 def weight_decay_mask(params: Params) -> Params:
-    """True where the squeezed parameter has >= 2 dims (gets weight decay)."""
-    return jax.tree_util.tree_map(
-        lambda p: len([d for d in jnp.shape(p) if d > 1]) >= 2, params
-    )
+    """True where the squeezed parameter has >= 2 dims (gets weight decay).
+
+    Leaves under a ``blocks_stacked`` subtree (rwkv7.stack_blocks layout) carry
+    a leading layer axis; the rule applies to the per-layer shape."""
+
+    def decide(path, p) -> bool:
+        shape = jnp.shape(p)
+        if any(getattr(q, "key", None) == "blocks_stacked" for q in path):
+            shape = shape[1:]
+        return len([d for d in shape if d > 1]) >= 2
+
+    return jax.tree_util.tree_map_with_path(decide, params)
 
 
 def trainable_mask(params: Params, cfg: TrainConfig, n_layer: int) -> Params:

@@ -159,6 +159,23 @@ class Trainer:
                 params,
             )
 
+        # stacked-layer layout (lax.scan over depth): opt-in, x070-only, and
+        # only when no option needs per-layer addressing of the block list
+        self.stacked = bool(
+            train_cfg.stacked_layers
+            and vlm_cfg.rwkv.version == "x070"
+            and self.mesh.shape.get("model", 1) == 1
+            and not (0 < train_cfg.freeze_rwkv_layers < vlm_cfg.rwkv.n_layer)
+            and not train_cfg.enable_state_tuning
+            and not getattr(vlm_cfg, "bidirectional_image", False)
+            and vlm_cfg.rwkv.n_layer >= 2
+        )
+        if self.stacked:
+            from visualrwkv_tpu.models.rwkv7 import stack_blocks
+
+            params = dict(params)
+            params["rwkv"] = stack_blocks(params["rwkv"])
+
         # placement: params replicated, FSDP-sharded (zero_stage>=3), or
         # tensor-parallel over the model axis; optimizer state ZeRO-1 sharded
         if self.mesh.shape.get("model", 1) > 1:
@@ -248,8 +265,14 @@ class Trainer:
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
+        save_params = self.state.params
+        if self.stacked:  # checkpoints stay in the canonical list-of-blocks layout
+            from visualrwkv_tpu.models.rwkv7 import unstack_blocks
+
+            save_params = dict(save_params)
+            save_params["rwkv"] = unstack_blocks(save_params["rwkv"])
         payload = {
-            "params": jax.tree_util.tree_map(np.asarray, self.state.params),
+            "params": jax.tree_util.tree_map(np.asarray, save_params),
             "step": int(self.state.step),
         }
         if with_optimizer:
@@ -264,9 +287,18 @@ class Trainer:
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        # restore against the live structure so optax NamedTuples round-trip
+        # restore against the live structure so optax NamedTuples round-trip.
+        # params are checkpointed in the canonical list-of-blocks layout even
+        # when training stacked (opt_state keeps the live layout: resume
+        # implies the same run configuration).
+        live_params = self.state.params
+        if self.stacked:
+            from visualrwkv_tpu.models.rwkv7 import stack_blocks, unstack_blocks
+
+            live_params = dict(live_params)
+            live_params["rwkv"] = unstack_blocks(live_params["rwkv"])
         template = {
-            "params": jax.tree_util.tree_map(np.asarray, self.state.params),
+            "params": jax.tree_util.tree_map(np.asarray, live_params),
             "step": int(self.state.step),
             "opt_state": jax.tree_util.tree_map(
                 lambda x: np.asarray(x) if hasattr(x, "shape") else x,
@@ -278,8 +310,12 @@ class Trainer:
         except BaseException:
             template.pop("opt_state")  # weights-only checkpoint
             restored = ckptr.restore(path, template)
+        restored_params = restored["params"]
+        if self.stacked:
+            restored_params = dict(restored_params)
+            restored_params["rwkv"] = stack_blocks(restored_params["rwkv"])
         self.state.params = jax.tree_util.tree_map(
-            lambda a, b: jnp.asarray(b, a.dtype), self.state.params, restored["params"]
+            lambda a, b: jnp.asarray(b, a.dtype), self.state.params, restored_params
         )
         if "opt_state" in restored:
             self.state.opt_state = jax.tree_util.tree_map(
