@@ -94,17 +94,32 @@ def main():
     int(ssum)
     decode_i8_s = (time.time() - t0) / reps
 
-    tok_per_s_i8 = B * DECODE_T / decode_i8_s
+    # + bf16-carried WKV state ("tpu bf16i8 s16" serving strategy): the state
+    # is the dominant decode HBM term at B=32; the reference's fp16 serving
+    # strategies also carry half-precision states (app/modeling_rwkv.py atype).
+    # Greedy-decode parity with fp32 states is regression-tested
+    # (tests/test_engine.py::test_bf16_state_decode_matches_fp32).
+    st16 = [s._replace(wkv=s.wkv.astype(jnp.bfloat16)) for s in st32]
+    ssum, _ = decode(params_i8, fl32, st16)
+    int(ssum)
+    t0 = time.time()
+    for _ in range(reps):
+        ssum, _ = decode(params_i8, fl32, st16)
+    int(ssum)
+    decode_i8s16_s = (time.time() - t0) / reps
+
+    tok_per_s = B * DECODE_T / decode_i8s16_s
     baseline = 2000.0
     result = {
-        "metric": "decode_tokens_per_sec_per_chip_1B5_int8_B32",
-        "value": round(tok_per_s_i8, 1),
+        "metric": "decode_tokens_per_sec_per_chip_1B5_int8_bf16state_B32",
+        "value": round(tok_per_s, 1),
         "unit": "tokens/s/chip",
-        "vs_baseline": round(tok_per_s_i8 / baseline, 3),
+        "vs_baseline": round(tok_per_s / baseline, 3),
         "extra": {
+            "decode_tok_per_s_int8_fp32state_B32": round(B * DECODE_T / decode_i8_s, 1),
             "decode_tok_per_s_bf16_B32": round(B * DECODE_T / decode_s, 1),
             "prefill_tok_per_s_B8_T512": round(PREFILL_B * PREFILL_T / prefill_s, 1),
-            "decode_ms_per_step_int8_B32": round(decode_i8_s / DECODE_T * 1e3, 3),
+            "decode_ms_per_step": round(decode_i8s16_s / DECODE_T * 1e3, 3),
             "device": str(jax.devices()[0]),
         },
     }

@@ -115,3 +115,26 @@ def test_engine_x060_and_quant():
     engine_q = InferenceEngine(qparams, cfg)
     res_q = engine_q.generate(np.array([[11, 22, 33]]), max_new_tokens=4, stop_tokens=(-1,))
     assert res_q.tokens.shape == (1, 4)
+
+
+def test_bf16_state_decode_matches_fp32(setup):
+    """Serving with state_dtype=bfloat16 (halved decode state traffic): short
+    greedy generations must match the fp32-state engine on a tiny model, and
+    the carried WKV state must actually be bf16."""
+    cfg, params, engine = setup
+    engine_bf = InferenceEngine(params, cfg, state_dtype="bfloat16")
+    prompt = np.array([[11, 22, 33, 44, 55, 66, 77]])
+    n = 8
+    ref = engine.generate(prompt, max_new_tokens=n, stop_tokens=(-1,))
+    got = engine_bf.generate(prompt, max_new_tokens=n, stop_tokens=(-1,))
+    assert list(got.tokens[0][:n]) == list(ref.tokens[0][:n])
+    # logit drift stays small at this horizon
+    np.testing.assert_allclose(got.logits[0], ref.logits[0], rtol=0.05, atol=0.05)
+
+    # dtype check at the decode-step level
+    states = rwkv7.init_state(cfg.rwkv, 1)
+    states = [s._replace(wkv=s.wkv.astype(jnp.bfloat16)) for s in states]
+    _, new_states = rwkv7.rwkv7_decode_step(
+        params["rwkv"], cfg.rwkv, jnp.array([7]), states
+    )
+    assert all(s.wkv.dtype == jnp.bfloat16 for s in new_states)

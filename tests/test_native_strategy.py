@@ -42,3 +42,12 @@ def test_apply_strategy():
     assert "weight_q" in leaf and leaf["weight_q"].dtype == jnp.int8
     out2 = apply_strategy({"w": jnp.zeros((4, 4), jnp.float32)}, parse_strategy("cpu bf16"))
     assert out2["w"].dtype == jnp.bfloat16
+
+
+def test_strategy_state_dtype_token():
+    from visualrwkv_tpu.infer.strategy import parse_strategy
+
+    s = parse_strategy("tpu bf16i8 s16")
+    assert s.int8_weights and s.state_dtype == "bfloat16"
+    assert parse_strategy("tpu bf16").state_dtype == "float32"
+    assert parse_strategy("cpu fp32 s32").state_dtype == "float32"

@@ -88,3 +88,31 @@ def test_dispatch_chunk_is_capped():
     mod = importlib.import_module("visualrwkv_tpu.ops.wkv7")
     src = inspect.getsource(mod.wkv7)
     assert "(32, 16)" in src
+
+
+def test_step_kernel_matches_jnp_step():
+    """Fused decode-step kernel (interpret mode on CPU) vs the jnp step."""
+    from visualrwkv_tpu.ops.wkv7 import wkv7_step
+    from visualrwkv_tpu.ops.wkv7_pallas import wkv7_step_pallas
+
+    B, H, N = 2, 3, 16
+    r, w, k, v, a, b = (x[:, 0] for x in make_inputs(jax.random.PRNGKey(2), B=B, T=1, H=H, N=N))
+    st = jax.random.normal(jax.random.PRNGKey(3), (B, H, N, N), jnp.float32)
+    s_ref, y_ref = wkv7_step(st, r, w, k, v, a, b)
+    s_pal, y_pal = wkv7_step_pallas(st, r, w, k, v, a, b)
+    assert rel_err(s_pal, s_ref) < 1e-6
+    assert rel_err(y_pal, y_ref) < 1e-6
+
+
+def test_wkv6_step_kernel_matches_jnp_step():
+    from visualrwkv_tpu.ops.wkv6 import wkv6_step
+    from visualrwkv_tpu.ops.wkv6_pallas import wkv6_step_pallas
+
+    B, H, N = 2, 3, 16
+    r, w, k, v, _, _ = (x[:, 0] for x in make_inputs(jax.random.PRNGKey(4), B=B, T=1, H=H, N=N))
+    u = jax.random.normal(jax.random.PRNGKey(5), (H, N), jnp.float32) * 0.3
+    st = jax.random.normal(jax.random.PRNGKey(6), (B, H, N, N), jnp.float32)
+    s_ref, y_ref = wkv6_step(st, r, w, k, v, u)
+    s_pal, y_pal = wkv6_step_pallas(st, r, w, k, v, u)
+    assert rel_err(s_pal, s_ref) < 1e-6
+    assert rel_err(y_pal, y_ref) < 1e-6

@@ -43,7 +43,7 @@ def build_engine(args):
         from visualrwkv_tpu.infer.quant import quantize_lm_params
 
         params["rwkv"] = quantize_lm_params(params["rwkv"])
-    return InferenceEngine(params, cfg), cfg
+    return InferenceEngine(params, cfg, state_dtype=args.state_dtype), cfg
 
 
 def chat_fn(engine, tokenizer, cfg):
@@ -83,6 +83,8 @@ def main(argv=None):
     p.add_argument("--num_token_per_image", default=1024, type=int)
     p.add_argument("--vision_towers", default="dino,siglip,sam")
     p.add_argument("--quant", default="none", choices=["none", "int8"])
+    p.add_argument("--state_dtype", default="float32", choices=["float32", "bfloat16"],
+                   help="decode WKV state carry dtype (bf16 ~= 1.5x decode throughput)")
     p.add_argument("--share", action="store_true")
     args = p.parse_args(argv)
 

@@ -25,6 +25,7 @@ def build_argparser():
     p.add_argument("--top_p", default=1.0, type=float)
     p.add_argument("--rwkv_version", default="x070", choices=["x070", "x060"])
     p.add_argument("--quant", default="none", choices=["none", "int8"])
+    p.add_argument("--state_dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--length_bucket", default=64, type=int,
                    help="pad prompts (EOS-left) to length buckets; 16 = reference-exact padding")
     p.add_argument("--n_layer", default=12, type=int)
@@ -72,7 +73,7 @@ def main(argv=None):
 
         params["rwkv"] = quantize_lm_params(params["rwkv"])
 
-    engine = InferenceEngine(params, cfg)
+    engine = InferenceEngine(params, cfg, state_dtype=args.state_dtype)
     tok = get_tokenizer()
     questions = get_chunk(load_questions(args.question_file), args.num_chunks, args.chunk_idx)
     run_eval(

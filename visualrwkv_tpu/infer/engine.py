@@ -123,9 +123,15 @@ def _decode_loop(params, cfg: VLMConfig, first_logits, states, key, sp: Sampling
 class InferenceEngine:
     """Stateful convenience wrapper holding params + jitted paths + state cache."""
 
-    def __init__(self, params: Params, cfg: VLMConfig):
+    def __init__(self, params: Params, cfg: VLMConfig, state_dtype: str = "float32"):
+        """state_dtype: dtype the recurrent WKV state is CARRIED in during
+        decode ("float32" default = reference precision; "bfloat16" halves
+        the dominant decode HBM-traffic term at 1B5/B32 — step math still
+        runs fp32, only the carried state is rounded). Token-shift carries
+        stay fp32 (negligible size, norm-sensitive)."""
         self.params = params
         self.cfg = cfg
+        self.state_dtype = jnp.dtype(state_dtype)
         self._state_cache: Dict[str, Any] = {}
         self._sample_counter = 0  # default-key entropy across generate() calls
         # params flow as explicit jit arguments (closure capture would bake
@@ -204,6 +210,8 @@ class InferenceEngine:
             self._sample_counter += 1
             key = jax.random.PRNGKey(self._sample_counter)
         first_logits, states = self.prefill_ids(input_ids, images, states)
+        if self.state_dtype != jnp.float32:
+            states = [st._replace(wkv=st.wkv.astype(self.state_dtype)) for st in states]
         tokens, lengths, tls, tps, _ = self._decode(
             first_logits, states, key, sp=sp, max_new_tokens=max_new_tokens,
             stop_tokens=tuple(stop_tokens),

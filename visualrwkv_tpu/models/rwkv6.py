@@ -32,7 +32,7 @@ from visualrwkv_tpu.models.rwkv7 import (
     _ortho,
     _uniform,
 )
-from visualrwkv_tpu.ops.wkv6 import wkv6, wkv6_step
+from visualrwkv_tpu.ops.wkv6 import wkv6, wkv6_step, wkv6_step_auto
 
 Array = jax.Array
 Params = Dict[str, Any]
@@ -316,7 +316,7 @@ def rwkv6_decode_step_embed(
         w_raw = p["time_decay"] + ww
 
         shp = (B, H, N)
-        new_wkv, y = wkv6_step(
+        new_wkv, y = wkv6_step_auto(
             st.wkv, r.reshape(shp), w_raw.reshape(shp), k.reshape(shp),
             v.reshape(shp), p["time_faaaa"],
         )
@@ -328,7 +328,10 @@ def rwkv6_decode_step_embed(
         x = x + att_out
         ff, new_ffn_shift = cmix_x060(blk["ffn"], cfg, layer_norm(blk["ln2"], x), st.ffn_shift)
         x = x + ff
-        new_states.append(LayerState(xf[:, -1], new_wkv, new_ffn_shift))
+        # preserve carry dtype (bf16 serving states, see rwkv7 decode step)
+        new_states.append(
+            LayerState(xf[:, -1], new_wkv.astype(st.wkv.dtype), new_ffn_shift)
+        )
     x = layer_norm(params["ln_out"], x)
     logits = linear(params["head"], x, dt)[:, 0]
     return logits, new_states

@@ -564,7 +564,11 @@ def rwkv7_decode_step_embed(
         xin2 = layer_norm(blk["ln2"], x)
         ff, new_ffn_shift = cmix_x070(blk["ffn"], cfg, xin2, st.ffn_shift)
         x = x + ff
-        new_states.append(LayerState(new_att_shift, new_wkv, new_ffn_shift))
+        # carry dtype is preserved: serving may hold the WKV state in bf16
+        # (state_dtype option) to halve the dominant decode HBM-traffic term
+        new_states.append(
+            LayerState(new_att_shift, new_wkv.astype(st.wkv.dtype), new_ffn_shift)
+        )
 
     x = layer_norm(params["ln_out"], x)
     logits = linear(params["head"], x, dt)[:, 0]

@@ -49,6 +49,24 @@ def wkv6_step(
     return state, y
 
 
+def wkv6_step_auto(state, r, w_raw, k, v, u):
+    """Decode-step dispatch; policy in ops.wkv7.set_wkv_step_impl (measured:
+    the fused step kernel wins in isolation but loses end-to-end — default
+    jnp). Same contract as :func:`wkv6_step` (u is per-head [H, N])."""
+    from visualrwkv_tpu.ops.wkv7 import _STEP_IMPL
+
+    if (
+        _STEP_IMPL == "pallas"
+        and jax.default_backend() == "tpu"
+        and state.ndim == 4
+        and u.ndim == 2
+    ):
+        from visualrwkv_tpu.ops.wkv6_pallas import wkv6_step_pallas
+
+        return wkv6_step_pallas(state, r, w_raw, k, v, u)
+    return wkv6_step(state, r, w_raw, k, v, u)
+
+
 def wkv6_reference(
     r: Array,
     w_raw: Array,

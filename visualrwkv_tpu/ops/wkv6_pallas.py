@@ -342,3 +342,55 @@ def wkv6_pallas_bwd(r, w_raw, k, v, u, zin, dy, dzfinal,
     du = du_bh.reshape(B, H, N).sum(axis=0).astype(u.dtype)
     d_initial = jnp.swapaxes(dz0.reshape(B, H, N, N), -1, -2)
     return unflat(dr), unflat(dw), unflat(dk), unflat(dv), du, d_initial
+
+
+# ---------------------------------------------------------------------------
+# Fused decode step (T=1)
+# ---------------------------------------------------------------------------
+
+
+def _wkv6_step_kernel(s_ref, u_ref, r_ref, w_ref, k_ref, v_ref,
+                      s_out_ref, y_ref):
+    """One WKV6 step for G heads; the [N,N] state is read ONCE and written
+    ONCE (y uses the OLD state: y = S@r + (u.(k*r)) v; then S' = S*w + v k^T,
+    reference app/cuda/rwkv6.cu:9-50 semantics). All math fp32."""
+    f32 = jnp.float32
+    s = s_ref[...]  # [G, Nv, Nk] fp32
+    u = u_ref[...].astype(f32)
+    r = r_ref[...].astype(f32)
+    w = jnp.exp(-jnp.exp(w_ref[...].astype(f32)))[:, None, :]
+    k = k_ref[...].astype(f32)
+    v = v_ref[...].astype(f32)
+    bonus = jnp.sum(u * k * r, axis=1, keepdims=True)  # [G, 1]
+    y = jnp.sum(s * r[:, None, :], axis=2) + bonus * v
+    y_ref[...] = y.astype(y_ref.dtype)
+    s_out_ref[...] = s * w + v[:, :, None] * k[:, None, :]
+
+
+def wkv6_step_pallas(state, r, w_raw, k, v, u):
+    """Fused single-token WKV6 update. state [B,H,Nv,Nk] fp32; r/w/k/v [B,H,N];
+    u [H,N] (per-head bonus). Same semantics as ops.wkv6.wkv6_step."""
+    B, H, Nv, Nk = state.shape
+    BH = B * H
+    sf = state.reshape(BH, Nv, Nk)
+    u_full = jnp.broadcast_to(u[None], (B, H, Nk)).reshape(BH, Nk)
+    vecs = [x.reshape(BH, Nk) for x in (r, w_raw, k, v)]
+
+    G = 8
+    while BH % G:
+        G //= 2
+    state_spec = pl.BlockSpec((G, Nv, Nk), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((G, Nk), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    s_out, y = pl.pallas_call(
+        _wkv6_step_kernel,
+        grid=(BH // G,),
+        in_specs=[state_spec] + [vec_spec] * 5,
+        out_specs=(state_spec, vec_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, Nv, Nk), jnp.float32),
+            jax.ShapeDtypeStruct((BH, Nv), r.dtype),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(sf, u_full, *vecs)
+    return s_out.reshape(B, H, Nv, Nk), y.reshape(B, H, Nv)

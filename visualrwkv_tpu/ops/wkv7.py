@@ -90,6 +90,41 @@ def wkv7_step(
     return state, y
 
 
+_STEP_IMPL = "jnp"  # "jnp" | "pallas"
+
+
+def set_wkv_step_impl(mode: str) -> None:
+    """Select the decode-step implementation.
+
+    MEASURED (v5e, 1B5 geometry, B=32): the fused Pallas step is 3.8x faster
+    than the jnp step in ISOLATION (0.141 vs 0.531 ms/layer — the jnp step
+    makes 4 HBM passes over the [N,N] state vs the kernel's 2), but in the
+    FULL decode graph it LOSES ~8% end-to-end (4093 vs 4444 tok/s int8):
+    the custom-call boundary blocks XLA from fusing the surrounding bf16
+    projections/norms and from overlapping the state traffic with the
+    weight-bound matmuls. Default therefore stays "jnp"; the kernel remains
+    available for state-dominated regimes (very large B, shallow models).
+    """
+    global _STEP_IMPL
+    assert mode in ("jnp", "pallas"), mode
+    _STEP_IMPL = mode
+
+
+def wkv7_step_auto(
+    state: Array, r: Array, w_raw: Array, k: Array, v: Array, a: Array, b: Array
+) -> Tuple[Array, Array]:
+    """Decode-step dispatch; see :func:`set_wkv_step_impl` for the policy."""
+    if (
+        _STEP_IMPL == "pallas"
+        and jax.default_backend() == "tpu"
+        and state.ndim == 4
+    ):
+        from visualrwkv_tpu.ops.wkv7_pallas import wkv7_step_pallas
+
+        return wkv7_step_pallas(state, r, w_raw, k, v, a, b)
+    return wkv7_step(state, r, w_raw, k, v, a, b)
+
+
 def wkv7_reference(
     r: Array,
     w_raw: Array,

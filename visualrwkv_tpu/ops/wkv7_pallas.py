@@ -195,6 +195,63 @@ def wkv7_pallas(
 
 
 # ---------------------------------------------------------------------------
+# Fused decode step (T=1)
+# ---------------------------------------------------------------------------
+
+
+def _wkv7_step_kernel(s_ref, r_ref, w_ref, k_ref, v_ref, a_ref, b_ref,
+                      s_out_ref, y_ref):
+    """One recurrence step for G heads; the [N,N] state is read ONCE and
+    written ONCE (the jnp step costs 4 state passes: sa-reduce, update,
+    y-reduce each re-read it). All math fp32; pure VPU work."""
+    f32 = jnp.float32
+    s = s_ref[...]  # [G, Nv, Nk] fp32
+    r = r_ref[...].astype(f32)[:, None, :]
+    w = jnp.exp(-jnp.exp(w_ref[...].astype(f32)))[:, None, :]
+    k = k_ref[...].astype(f32)
+    v = v_ref[...].astype(f32)
+    a = a_ref[...].astype(f32)[:, None, :]
+    b = b_ref[...].astype(f32)[:, None, :]
+    sa = jnp.sum(s * a, axis=2, keepdims=True)  # [G, Nv, 1]
+    s = s * w + sa * b + v[:, :, None] * k[:, None, :]
+    s_out_ref[...] = s
+    y_ref[...] = jnp.sum(s * r, axis=2).astype(y_ref.dtype)
+
+
+def wkv7_step_pallas(state: Array, r: Array, w_raw: Array, k: Array,
+                     v: Array, a: Array, b: Array) -> Tuple[Array, Array]:
+    """Fused single-token WKV7 update. state [B,H,Nv,Nk] fp32; vectors [B,H,N].
+
+    Same semantics as ops.wkv7.wkv7_step. Decode at batch is HBM-bound on the
+    state (B32 H32 N64 fp32 = 16.8 MB/layer); this kernel's traffic is the
+    2-pass minimum.
+    """
+    B, H, Nv, Nk = state.shape
+    BH = B * H
+    sf = state.reshape(BH, Nv, Nk)
+    vecs = [x.reshape(BH, Nk) for x in (r, w_raw, k, v, a, b)]
+
+    G = 8
+    while BH % G:
+        G //= 2
+    state_spec = pl.BlockSpec((G, Nv, Nk), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((G, Nk), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    s_out, y = pl.pallas_call(
+        _wkv7_step_kernel,
+        grid=(BH // G,),
+        in_specs=[state_spec] + [vec_spec] * 6,
+        out_specs=(state_spec, vec_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, Nv, Nk), jnp.float32),
+            jax.ShapeDtypeStruct((BH, Nv), r.dtype),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(sf, *vecs)
+    return s_out.reshape(B, H, Nv, Nk), y.reshape(B, H, Nv)
+
+
+# ---------------------------------------------------------------------------
 # Fused backward (hand-derived VJP of the chunk equations)
 # ---------------------------------------------------------------------------
 
