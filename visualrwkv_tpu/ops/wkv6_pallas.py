@@ -355,7 +355,7 @@ def _wkv6_step_kernel(s_ref, u_ref, r_ref, w_ref, k_ref, v_ref,
     ONCE (y uses the OLD state: y = S@r + (u.(k*r)) v; then S' = S*w + v k^T,
     reference app/cuda/rwkv6.cu:9-50 semantics). All math fp32."""
     f32 = jnp.float32
-    s = s_ref[...]  # [G, Nv, Nk] fp32
+    s = s_ref[...].astype(f32)  # [G, Nv, Nk] (carry may be bf16; math fp32)
     u = u_ref[...].astype(f32)
     r = r_ref[...].astype(f32)
     w = jnp.exp(-jnp.exp(w_ref[...].astype(f32)))[:, None, :]
@@ -364,7 +364,7 @@ def _wkv6_step_kernel(s_ref, u_ref, r_ref, w_ref, k_ref, v_ref,
     bonus = jnp.sum(u * k * r, axis=1, keepdims=True)  # [G, 1]
     y = jnp.sum(s * r[:, None, :], axis=2) + bonus * v
     y_ref[...] = y.astype(y_ref.dtype)
-    s_out_ref[...] = s * w + v[:, :, None] * k[:, None, :]
+    s_out_ref[...] = (s * w + v[:, :, None] * k[:, None, :]).astype(s_out_ref.dtype)
 
 
 def wkv6_step_pallas(state, r, w_raw, k, v, u):
@@ -388,7 +388,7 @@ def wkv6_step_pallas(state, r, w_raw, k, v, u):
         in_specs=[state_spec] + [vec_spec] * 5,
         out_specs=(state_spec, vec_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((BH, Nv, Nk), jnp.float32),
+            jax.ShapeDtypeStruct((BH, Nv, Nk), state.dtype),
             jax.ShapeDtypeStruct((BH, Nv), r.dtype),
         ),
         interpret=jax.default_backend() == "cpu",

@@ -102,7 +102,8 @@ def set_wkv_step_impl(mode: str) -> None:
     FULL decode graph it LOSES ~8% end-to-end (4093 vs 4444 tok/s int8):
     the custom-call boundary blocks XLA from fusing the surrounding bf16
     projections/norms and from overlapping the state traffic with the
-    weight-bound matmuls. Default therefore stays "jnp"; the kernel remains
+    weight-bound matmuls. Same verdict with bf16-carried states (5.65 vs
+    4.79 ms/step). Default therefore stays "jnp"; the kernel remains
     available for state-dominated regimes (very large B, shallow models).
     """
     global _STEP_IMPL

@@ -205,7 +205,7 @@ def _wkv7_step_kernel(s_ref, r_ref, w_ref, k_ref, v_ref, a_ref, b_ref,
     written ONCE (the jnp step costs 4 state passes: sa-reduce, update,
     y-reduce each re-read it). All math fp32; pure VPU work."""
     f32 = jnp.float32
-    s = s_ref[...]  # [G, Nv, Nk] fp32
+    s = s_ref[...].astype(f32)  # [G, Nv, Nk] (carry may be bf16; math fp32)
     r = r_ref[...].astype(f32)[:, None, :]
     w = jnp.exp(-jnp.exp(w_ref[...].astype(f32)))[:, None, :]
     k = k_ref[...].astype(f32)
@@ -214,7 +214,7 @@ def _wkv7_step_kernel(s_ref, r_ref, w_ref, k_ref, v_ref, a_ref, b_ref,
     b = b_ref[...].astype(f32)[:, None, :]
     sa = jnp.sum(s * a, axis=2, keepdims=True)  # [G, Nv, 1]
     s = s * w + sa * b + v[:, :, None] * k[:, None, :]
-    s_out_ref[...] = s
+    s_out_ref[...] = s.astype(s_out_ref.dtype)
     y_ref[...] = jnp.sum(s * r, axis=2).astype(y_ref.dtype)
 
 
@@ -243,7 +243,7 @@ def wkv7_step_pallas(state: Array, r: Array, w_raw: Array, k: Array,
         in_specs=[state_spec] + [vec_spec] * 6,
         out_specs=(state_spec, vec_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((BH, Nv, Nk), jnp.float32),
+            jax.ShapeDtypeStruct((BH, Nv, Nk), state.dtype),
             jax.ShapeDtypeStruct((BH, Nv), r.dtype),
         ),
         interpret=jax.default_backend() == "cpu",
