@@ -138,3 +138,20 @@ def test_bf16_state_decode_matches_fp32(setup):
         params["rwkv"], cfg.rwkv, jnp.array([7]), states
     )
     assert all(s.wkv.dtype == jnp.bfloat16 for s in new_states)
+
+
+def test_batch_sharded_decode_on_mesh(setup):
+    """Data-parallel serving: a batch sharded over the 8-device mesh decodes
+    to the same tokens as the unsharded engine (GSPMD partitions the whole
+    prefill->decode scan per batch row; params replicated)."""
+    from visualrwkv_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    cfg, params, engine = setup
+    prompts = np.tile(np.array([[11, 22, 33, 44, 55, 66, 77]]), (8, 1))
+    prompts = prompts + np.arange(8)[:, None]  # distinct rows
+    ref = engine.generate(prompts, max_new_tokens=6, stop_tokens=(-1,))
+
+    mesh = make_mesh(n_data=8)
+    sharded = jax.device_put(jnp.asarray(prompts), batch_sharding(mesh))
+    got = engine.generate(sharded, max_new_tokens=6, stop_tokens=(-1,))
+    np.testing.assert_array_equal(got.tokens, ref.tokens)

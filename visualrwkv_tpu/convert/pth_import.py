@@ -120,3 +120,50 @@ def load_pth(path: str) -> Dict[str, np.ndarray]:
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
     return {k: _to_numpy(v) for k, v in sd.items()}
+
+
+def import_visualrwkv_checkpoint(
+    sd_or_path, dst_grid: int = 32, sam_downsample: bool = True
+) -> Params:
+    """Combined released VisualRWKV checkpoint -> ``{"rwkv", "proj", "vit"}``.
+
+    The reference saves the whole LightningModule state dict (keys ``rwkv.*``,
+    ``proj.*``, ``vit.{dino,siglip,sam}_featurizer.*``; export.py:14-27 splits
+    on the same prefixes). Towers inside are timm / vendored-SAM layouts.
+    ``dst_grid``: patch grid of the serving resolution (448/14 = 32).
+    """
+    sd = load_pth(sd_or_path) if isinstance(sd_or_path, str) else sd_or_path
+    from visualrwkv_tpu.convert.vision_import import import_sam_vision, import_timm_vit
+
+    def strip(prefix):
+        plen = len(prefix)
+        return {k[plen:]: v for k, v in sd.items() if k.startswith(prefix)}
+
+    params: Params = {"rwkv": import_rwkv_state_dict(strip("rwkv."))}
+
+    proj_sd = strip("proj.")
+    if "weight" in proj_sd and len(proj_sd) == 1:  # linear projector
+        params["proj"] = {"weight": _to_numpy(proj_sd["weight"]).T}
+    elif proj_sd:  # MLPWithContextGating (model.py:328-338)
+        params["proj"] = {
+            "gate": {"weight": _to_numpy(proj_sd["gate.weight"]).T},
+            "o_proj": {"weight": _to_numpy(proj_sd["o_proj.weight"]).T},
+            "ln_v": {
+                "weight": _to_numpy(proj_sd["ln_v.weight"]),
+                "bias": _to_numpy(proj_sd["ln_v.bias"]),
+            },
+        }
+
+    vit: Params = {}
+    dino_sd = strip("vit.dino_featurizer.")
+    if dino_sd:
+        vit["dino"] = import_timm_vit(dino_sd, dst_grid)
+    siglip_sd = strip("vit.siglip_featurizer.")
+    if siglip_sd:
+        vit["siglip"] = import_timm_vit(siglip_sd, dst_grid)
+    sam_sd = strip("vit.sam_featurizer.")
+    if sam_sd:
+        vit["sam"] = import_sam_vision(sam_sd)
+    if vit:
+        params["vit"] = vit
+    return params

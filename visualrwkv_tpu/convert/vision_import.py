@@ -189,15 +189,28 @@ def import_dinov2_vision(sd: Mapping, dst_grid: int) -> Params:
 
 
 def import_sam_vision(sd: Mapping) -> Params:
-    """HF SamModel (vision_encoder.*) or Meta SAM (image_encoder.*) -> sam params."""
+    """SAM image encoder -> sam params.
+
+    Layouts: HF SamModel (``vision_encoder.*``), Meta SAM checkpoints
+    (``image_encoder.*``, Sequential neck ``neck.{0..3}``), or the reference's
+    vendored encoder with no prefix — what ``vit.sam_featurizer.*`` inside a
+    combined VisualRWKV checkpoint strips down to (reference sam.py:149-167).
+    """
     if any(k.startswith("vision_encoder.") for k in sd):
-        pre, layers, lin1, lin2, qkvname = "vision_encoder", "layers", "lin1", "lin2", "qkv"
-    else:  # Meta SAM checkpoint layout (reference sam.py:463-506 filter)
-        pre, layers, lin1, lin2, qkvname = "image_encoder", "blocks", "lin1", "lin2", "qkv"
-    g = lambda name: _np(sd[f"{pre}.{name}"])
+        pre, layers = "vision_encoder", "layers"
+    elif any(k.startswith("image_encoder.") for k in sd):
+        pre, layers = "image_encoder", "blocks"
+    else:
+        pre, layers = "", "blocks"
+    dot = f"{pre}." if pre else ""
+    g = lambda name: _np(sd[f"{dot}{name}"])
 
     def patch_key(name):
-        return f"patch_embed.projection.{name}" if f"{pre}.patch_embed.projection.weight" in sd else f"patch_embed.proj.{name}"
+        return f"patch_embed.projection.{name}" if f"{dot}patch_embed.projection.weight" in sd else f"patch_embed.proj.{name}"
+
+    def neck_part(conv_key, seq_idx):
+        # HF names the neck convs/LNs; Meta + vendored use nn.Sequential indices
+        return conv_key if f"{dot}neck.{conv_key}.weight" in sd else str(seq_idx)
 
     p: Params = {
         "patch_embed": {
@@ -207,20 +220,22 @@ def import_sam_vision(sd: Mapping) -> Params:
         "pos_embed": g("pos_embed")[0],  # [64, 64, C]
         "blocks": [],
         "neck": {
-            "conv1": {"weight": g("neck.conv1.weight").transpose(2, 3, 1, 0)},
-            "ln1": {"weight": g("neck.layer_norm1.weight"), "bias": g("neck.layer_norm1.bias")}
-            if f"{pre}.neck.layer_norm1.weight" in sd
-            else {"weight": g("neck.ln1.weight"), "bias": g("neck.ln1.bias")},
-            "conv2": {"weight": g("neck.conv2.weight").transpose(2, 3, 1, 0)},
-            "ln2": {"weight": g("neck.layer_norm2.weight"), "bias": g("neck.layer_norm2.bias")}
-            if f"{pre}.neck.layer_norm2.weight" in sd
-            else {"weight": g("neck.ln2.weight"), "bias": g("neck.ln2.bias")},
+            "conv1": {"weight": g(f"neck.{neck_part('conv1', 0)}.weight").transpose(2, 3, 1, 0)},
+            "ln1": {
+                "weight": g(f"neck.{neck_part('layer_norm1', 1)}.weight"),
+                "bias": g(f"neck.{neck_part('layer_norm1', 1)}.bias"),
+            },
+            "conv2": {"weight": g(f"neck.{neck_part('conv2', 2)}.weight").transpose(2, 3, 1, 0)},
+            "ln2": {
+                "weight": g(f"neck.{neck_part('layer_norm2', 3)}.weight"),
+                "bias": g(f"neck.{neck_part('layer_norm2', 3)}.bias"),
+            },
         },
     }
     i = 0
-    while f"{pre}.{layers}.{i}.layer_norm1.weight" in sd or f"{pre}.{layers}.{i}.norm1.weight" in sd:
+    while f"{dot}{layers}.{i}.layer_norm1.weight" in sd or f"{dot}{layers}.{i}.norm1.weight" in sd:
         base = f"{layers}.{i}"
-        ln = "layer_norm" if f"{pre}.{base}.layer_norm1.weight" in sd else "norm"
+        ln = "layer_norm" if f"{dot}{base}.layer_norm1.weight" in sd else "norm"
         p["blocks"].append(
             {
                 "ln1": {"weight": g(f"{base}.{ln}1.weight"), "bias": g(f"{base}.{ln}1.bias")},
@@ -238,10 +253,79 @@ def import_sam_vision(sd: Mapping) -> Params:
                     "rel_pos_w": g(f"{base}.attn.rel_pos_w"),
                 },
                 "mlp": {
-                    "fc1": {"weight": g(f"{base}.mlp.{lin1}.weight").T, "bias": g(f"{base}.mlp.{lin1}.bias")},
-                    "fc2": {"weight": g(f"{base}.mlp.{lin2}.weight").T, "bias": g(f"{base}.mlp.{lin2}.bias")},
+                    "fc1": {"weight": g(f"{base}.mlp.lin1.weight").T, "bias": g(f"{base}.mlp.lin1.bias")},
+                    "fc2": {"weight": g(f"{base}.mlp.lin2.weight").T, "bias": g(f"{base}.mlp.lin2.bias")},
                 },
             }
         )
+        i += 1
+    return p
+
+
+def import_timm_vit(sd: Mapping, dst_grid: int) -> Params:
+    """timm VisionTransformer state dict -> ViT params.
+
+    Covers the layouts inside released VisualRWKV checkpoints, whose towers
+    are timm models saved under ``vit.{dino,siglip}_featurizer.*`` (reference
+    vision.py:58-81): fused ``blocks.{i}.attn.qkv``, optional ``cls_token`` /
+    ``reg_token`` / LayerScale ``ls{1,2}.gamma``; the SigLIP variant's unused
+    ``attn_pool.*`` head is skipped (features are taken from the
+    second-to-last layer). When the model has no positional row for the cls
+    token (timm ``no_embed_class``), a zeros row is emitted — numerically
+    identical to timm's "add pos to patches only".
+    """
+    g = lambda name: _np(sd[name])
+    pos = g("pos_embed")[0]  # [N(+1), C]
+    C = pos.shape[-1]
+    has_cls = "cls_token" in sd
+    n_pos = pos.shape[0]
+    src_grid = int(round(n_pos**0.5))
+    if has_cls and src_grid * src_grid != n_pos:  # pos covers cls + patches
+        cls_pos, patch_pos = pos[:1], pos[1:]
+        src_grid = int(round(patch_pos.shape[0] ** 0.5))
+    else:  # patches only (no_embed_class) -> zero pos for cls
+        cls_pos, patch_pos = np.zeros((1, C), pos.dtype), pos
+    patch_pos = interpolate_pos_embed(patch_pos, src_grid, dst_grid)
+
+    p: Params = {
+        "patch_embed": {"weight": _conv_to_patch_matrix(g("patch_embed.proj.weight"))},
+        "blocks": [],
+        "ln_out": {"weight": g("norm.weight"), "bias": g("norm.bias")},
+    }
+    if "patch_embed.proj.bias" in sd:
+        p["patch_embed"]["bias"] = g("patch_embed.proj.bias")
+    if has_cls:
+        p["cls_token"] = g("cls_token").reshape(-1)
+        p["pos_embed"] = np.concatenate([cls_pos, patch_pos], axis=0)
+    else:
+        p["pos_embed"] = patch_pos
+    if "reg_token" in sd:
+        p["reg_tokens"] = g("reg_token")[0]
+
+    i = 0
+    while f"blocks.{i}.norm1.weight" in sd:
+        base = f"blocks.{i}"
+        blk = {
+            "ln1": {"weight": g(f"{base}.norm1.weight"), "bias": g(f"{base}.norm1.bias")},
+            "ln2": {"weight": g(f"{base}.norm2.weight"), "bias": g(f"{base}.norm2.bias")},
+            "attn": {
+                "qkv": {
+                    "weight": g(f"{base}.attn.qkv.weight").T,
+                    "bias": g(f"{base}.attn.qkv.bias"),
+                },
+                "proj": {
+                    "weight": g(f"{base}.attn.proj.weight").T,
+                    "bias": g(f"{base}.attn.proj.bias"),
+                },
+            },
+            "mlp": {
+                "fc1": {"weight": g(f"{base}.mlp.fc1.weight").T, "bias": g(f"{base}.mlp.fc1.bias")},
+                "fc2": {"weight": g(f"{base}.mlp.fc2.weight").T, "bias": g(f"{base}.mlp.fc2.bias")},
+            },
+        }
+        if f"{base}.ls1.gamma" in sd:
+            blk["ls1"] = g(f"{base}.ls1.gamma")
+            blk["ls2"] = g(f"{base}.ls2.gamma")
+        p["blocks"].append(blk)
         i += 1
     return p
