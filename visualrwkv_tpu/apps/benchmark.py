@@ -38,6 +38,8 @@ def main(argv=None):
     p.add_argument("--n_embd", default=2048, type=int)
     p.add_argument("--ctx_len", default=2048, type=int)
     p.add_argument("--quant", default="none", choices=["none", "int8"])
+    p.add_argument("--state_dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--batch", default=1, type=int)
     p.add_argument("--max_pow", default=10, type=int, help="max new_tokens = 2^max_pow")
     p.add_argument("--reps", default=15, type=int)
     p.add_argument("--discard", default=5, type=int)
@@ -66,11 +68,14 @@ def main(argv=None):
         params = jax.jit(quantize_lm_params)(params)
 
     # prefill once ("image state reuse"), decode many
-    prompt = jax.random.randint(jax.random.PRNGKey(1), (1, 512), 0, 65000)
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (args.batch, 512), 0, 65000)
+    state_dt = jnp.dtype(args.state_dtype)
 
     @jax.jit
     def prefill(params, tokens):
         logits, states = rwkv7.rwkv7_forward_tokens(params, cfg, tokens)
+        # serving state dtype (strategy 's16'): halves decode state traffic
+        states = [s._replace(wkv=s.wkv.astype(state_dt)) for s in states]
         return logits[:, -1].astype(jnp.float32), states
 
     def make_decode(n):
@@ -116,8 +121,9 @@ def main(argv=None):
         records.append(
             {
                 "new_tokens": n,
+                "batch": args.batch,
                 "latency_s": round(mean_s, 5),
-                "tok_per_s": round(n / mean_s, 1),
+                "tok_per_s": round(args.batch * n / mean_s, 1),
                 "memory": device_memory_stats(),
             }
         )
