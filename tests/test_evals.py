@@ -192,3 +192,49 @@ def test_bucket_pad_ids():
     assert (out[58:] == ids).all()
     same = bucket_pad_ids(np.arange(64, dtype=np.int64), bucket=64)
     assert same.shape == (64,)
+
+
+def test_batched_eval_matches_single(tmp_path):
+    """batch_size=3 (grouped by bucketed length) must produce the same jsonl
+    records as batch_size=1, in the original question order."""
+    import jax
+    from PIL import Image
+
+    from visualrwkv_tpu.config import RWKVConfig, VisionConfig, VLMConfig
+    from visualrwkv_tpu.data.tokenizer import get_tokenizer
+    from visualrwkv_tpu.evals.runner import run_eval
+    from visualrwkv_tpu.infer.engine import InferenceEngine
+    from visualrwkv_tpu.models.visualrwkv import init_visualrwkv_params
+    from visualrwkv_tpu.vision.vit import ViTConfig
+
+    tiny_vit = ViTConfig(img_size=32, patch_size=8, width=32, depth=1, heads=2,
+                         mlp_dim=64, use_cls=False, num_reg=0, layerscale=False)
+    cfg = VLMConfig(
+        rwkv=RWKVConfig(n_layer=2, n_embd=64, vocab_size=66000, head_size=32,
+                        compute_dtype="float32", ctx_len=256),
+        vision=VisionConfig(towers=("dino",), image_size=32, dino_dim=32,
+                            tower_config_overrides={"dino": tiny_vit}),
+        proj_type="linear", num_token_per_image=4,
+    )
+    params = init_visualrwkv_params(jax.random.PRNGKey(0), cfg)
+    engine = InferenceEngine(params, cfg)
+    tok = get_tokenizer()
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    Image.new("RGB", (64, 48), (120, 30, 200)).save(img_dir / "a.jpg")
+    Image.new("RGB", (48, 64), (10, 230, 20)).save(img_dir / "b.jpg")
+    questions = [
+        {"question_id": 1, "image": "a.jpg", "text": "<image>\nWhat color?"},
+        {"question_id": 2, "image": "b.jpg", "text": "<image>\nDescribe this image please."},
+        {"question_id": 3, "image": "a.jpg", "text": "<image>\nIs it red?"},
+        {"question_id": 4, "image": "b.jpg", "text": "<image>\nCount objects."},
+    ]
+    outs = {}
+    for bs in (1, 3):
+        out = tmp_path / f"answers_b{bs}.jsonl"
+        run_eval(engine, tok, questions, img_dir, str(out), max_new_tokens=4,
+                 progress=False, batch_size=bs)
+        outs[bs] = [json.loads(l) for l in out.read_text().splitlines()]
+    assert [r["question_id"] for r in outs[1]] == [1, 2, 3, 4]
+    assert outs[1] == outs[3]

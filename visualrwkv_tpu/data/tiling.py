@@ -58,6 +58,16 @@ def split_into_tiles(image, n_rows: int, n_cols: int) -> List:
     return tiles
 
 
+def n_tiles_for_size(size: Tuple[int, int]) -> int:
+    """Images-per-sample the multi-tile strategy will produce for an original
+    size (1 when it stays single; else 1 + rows*cols) — size-only, no pixels."""
+    best = select_best_resolution(size)
+    if best == (896, 896) and size[0] * size[1] <= 896 * 896:
+        return 1
+    n, m = _GRID_FOR_RESOLUTION[best]
+    return 1 + n * m
+
+
 def single_to_multi_images(image) -> List:
     """[full image] + aspect-matched tiles (reference utils.py:91-118; a small
     ~1:1 image stays single)."""

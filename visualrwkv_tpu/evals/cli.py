@@ -26,6 +26,9 @@ def build_argparser():
     p.add_argument("--rwkv_version", default="x070", choices=["x070", "x060"])
     p.add_argument("--quant", default="none", choices=["none", "int8"])
     p.add_argument("--state_dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--eval_batch", default=1, type=int,
+                   help="questions decoded together (grouped by bucketed length; "
+                   "batched decode ~25x single-stream throughput at 32)")
     p.add_argument("--length_bucket", default=64, type=int,
                    help="pad prompts (EOS-left) to length buckets; 16 = reference-exact padding")
     p.add_argument("--n_layer", default=12, type=int)
@@ -62,12 +65,22 @@ def main(argv=None):
     )
     params = init_visualrwkv_params(jax.random.PRNGKey(0), cfg)
     if args.model_path.endswith(".pth"):
-        from visualrwkv_tpu.convert.pth_import import import_rwkv_state_dict, load_pth
+        from visualrwkv_tpu.convert.pth_import import (
+            import_rwkv_state_dict,
+            import_visualrwkv_checkpoint,
+            load_pth,
+        )
 
         sd = load_pth(args.model_path)
-        rwkv_keys = {k: v for k, v in sd.items() if k.startswith(("rwkv.", "blocks.", "emb.", "head.", "ln_out"))}
-        params["rwkv"] = import_rwkv_state_dict(rwkv_keys)
-        logging.info("loaded %d rwkv tensors from %s", len(rwkv_keys), args.model_path)
+        if any(k.startswith(("vit.", "proj.")) for k in sd):
+            # combined released checkpoint: LM + projector + towers
+            loaded = import_visualrwkv_checkpoint(sd, dst_grid=cfg.vision.image_size // 14)
+            params.update(loaded)
+            logging.info("loaded combined checkpoint (%d tensors) from %s", len(sd), args.model_path)
+        else:
+            rwkv_keys = {k[5:] if k.startswith("rwkv.") else k: v for k, v in sd.items()}
+            params["rwkv"] = import_rwkv_state_dict(rwkv_keys)
+            logging.info("loaded %d rwkv tensors from %s", len(rwkv_keys), args.model_path)
     if args.quant == "int8":
         from visualrwkv_tpu.infer.quant import quantize_lm_params
 
@@ -80,6 +93,7 @@ def main(argv=None):
         engine, tok, questions, args.image_folder, args.output_file,
         dataset_name=args.dataset_name, image_strategy=args.image_strategy,
         max_new_tokens=args.max_new_tokens, length_bucket=args.length_bucket,
+        batch_size=args.eval_batch,
     )
 
 

@@ -121,6 +121,23 @@ def bucket_pad_ids(input_ids: np.ndarray, bucket: int = 64) -> np.ndarray:
     )
 
 
+def n_images_for_strategy(line: Dict, image_folder: Optional[Path], strategy: str) -> int:
+    """Images-per-sample for a question WITHOUT decoding pixels (PIL.open is
+    header-lazy), so batching keys can be derived cheaply."""
+    if strategy == "video":
+        return max(1, line["text"].count("<image>"))
+    if strategy == "uhd":
+        return 5  # global + 2x2 tiles
+    if strategy == "multi":
+        from PIL import Image
+
+        from visualrwkv_tpu.data.tiling import n_tiles_for_size
+
+        with Image.open(Path(image_folder) / line["image"]) as img:
+            return n_tiles_for_size(img.size)
+    return 1
+
+
 def run_eval(
     engine: InferenceEngine,
     tokenizer,
@@ -134,8 +151,16 @@ def run_eval(
     tower_sizes: Optional[Dict[str, int]] = None,
     progress: bool = True,
     length_bucket: int = 64,
+    batch_size: int = 1,
 ) -> List[Dict]:
-    """Evaluate questions, write the jsonl, return the result records."""
+    """Evaluate questions, write the jsonl, return the result records.
+
+    ``batch_size > 1`` groups questions whose (bucketed prompt length,
+    images-per-sample) match and decodes them together — batched decode is
+    the TPU answer to the reference's one-process-per-GPU fan-out (B=32
+    decode gives ~25x the single-stream tokens/s). Records are written in
+    the original question order either way.
+    """
     cfg = engine.cfg
     sizes = tower_sizes or {
         t: (cfg.vision.sam_image_size if t == "sam" else cfg.vision.image_size)
@@ -143,42 +168,70 @@ def run_eval(
     }
     out_path = Path(output_file)
     out_path.parent.mkdir(parents=True, exist_ok=True)
-    results = []
-    with open(out_path, "w") as f:
-        for i, line in enumerate(questions):
-            if "image" not in line and "video" not in line:
-                continue
-            idx = get_question_id(line)
-            images = build_image_dict(line, Path(image_folder), sizes, image_strategy)
-            n_img = next(iter(images.values())).shape[0]
-            item = prepare_question(line, tokenizer, cfg, n_img, dataset_name)
-            ids = bucket_pad_ids(item["input_ids"], length_bucket)[None, :]
+
+    # pass 1: tokenize (cheap, no pixel decode) to derive grouping keys
+    prepared = []
+    for i, line in enumerate(questions):
+        if "image" not in line and "video" not in line:
+            continue
+        n_img = n_images_for_strategy(line, Path(image_folder), image_strategy)
+        item = prepare_question(line, tokenizer, cfg, n_img, dataset_name)
+        ids = bucket_pad_ids(item["input_ids"], length_bucket)
+        prepared.append(
+            {"order": i, "line": line, "item": item, "ids": np.asarray(ids), "n_img": n_img}
+        )
+
+    groups: Dict[tuple, List[dict]] = {}
+    for q in prepared:
+        groups.setdefault((q["ids"].shape[-1], q["n_img"]), []).append(q)
+
+    records: Dict[int, Dict] = {}
+    done = 0
+    bs = max(1, batch_size)
+    for key in groups:
+        queue = groups[key]
+        for start in range(0, len(queue), bs):
+            chunk = queue[start : start + bs]
+            ids = np.stack([q["ids"] for q in chunk])
+            per_tower: Dict[str, List[np.ndarray]] = {}
+            for q in chunk:
+                imgs = build_image_dict(q["line"], Path(image_folder), sizes, image_strategy)
+                for t, v in imgs.items():
+                    per_tower.setdefault(t, []).append(v)
+            images = {t: np.concatenate(v, axis=0) for t, v in per_tower.items()}
             res = engine.generate(
                 ids,
-                images={k: v for k, v in images.items()},
+                images=images,
                 max_new_tokens=max_new_tokens,
                 do_sample=False,
                 stop_tokens=(0, STOP_TOKEN_INDEX),
             )
-            n = int(res.lengths[0])
-            out_ids = [int(t) for t in res.tokens[0][:n]]
-            text = tokenizer.decode(out_ids).split(DEFAULT_STOP_TOKEN)[0].strip()
-            logits = res.logits[0][: max(n, 1)]
-            probs = res.probs[0][: max(n, 1)]
-            avg_logit = float(np.mean(logits))
-            avg_prob = float(np.prod(probs) ** (1.0 / len(probs)))
-            rec = {
-                "question_id": idx,
-                "prompt": item["input_text"],
-                "text": text,
-                "avg_logit": str(round(avg_logit, 3)),
-                "avg_prob": str(round(avg_prob, 3)),
-                "model_id": model_id,
-                "metadata": {**line.get("metadata", {}), "image_file": line.get("image")},
-            }
+            for row, q in enumerate(chunk):
+                n = int(res.lengths[row])
+                out_ids = [int(t) for t in res.tokens[row][:n]]
+                text = tokenizer.decode(out_ids).split(DEFAULT_STOP_TOKEN)[0].strip()
+                logits = res.logits[row][: max(n, 1)]
+                probs = res.probs[row][: max(n, 1)]
+                avg_logit = float(np.mean(logits))
+                avg_prob = float(np.prod(probs) ** (1.0 / len(probs)))
+                records[q["order"]] = {
+                    "question_id": get_question_id(q["line"]),
+                    "prompt": q["item"]["input_text"],
+                    "text": text,
+                    "avg_logit": str(round(avg_logit, 3)),
+                    "avg_prob": str(round(avg_prob, 3)),
+                    "model_id": model_id,
+                    "metadata": {
+                        **q["line"].get("metadata", {}),
+                        "image_file": q["line"].get("image"),
+                    },
+                }
+            done += len(chunk)
+            if progress:
+                log.info("eval %d/%d", done, len(prepared))
+
+    results = [records[k] for k in sorted(records)]
+    with open(out_path, "w") as f:
+        for rec in results:
             f.write(json.dumps(rec, ensure_ascii=False) + "\n")
-            f.flush()
-            results.append(rec)
-            if progress and i % 10 == 0:
-                log.info("eval %d/%d", i, len(questions))
     return results
