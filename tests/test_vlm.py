@@ -105,3 +105,49 @@ def test_l2wrap_gradient():
     expect = np.zeros((1, 1, 3))
     expect[0, 0, 1] = 3.0 * 1e-4 / 1
     np.testing.assert_allclose(np.asarray(g), expect, rtol=1e-6)
+
+
+def test_chunked_ce_matches_dense(tiny_cfg):
+    """chunked_ce_l2wrap (never materializes full logits) must match the
+    dense loss AND its gradients (incl. the L2Wrap injection) exactly."""
+    import jax
+
+    from visualrwkv_tpu.models.visualrwkv import training_loss
+
+    cfg = tiny_cfg
+    params = vlm.init_visualrwkv_params(jax.random.PRNGKey(0), cfg)
+    B, T = 2, 32
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 300, (B, T))
+    ids[:, :4] = IMAGE_TOKEN_INDEX
+    labels = np.where(ids == IMAGE_TOKEN_INDEX, IGNORE_INDEX, ids)
+    labels[0, -6:] = IGNORE_INDEX  # uneven valid counts across the batch
+    images = {"dino": rng.integers(0, 255, (B, 32, 32, 3)).astype(np.uint8)}
+
+    args = (jnp.asarray(ids), jnp.asarray(labels), {k: jnp.asarray(v) for k, v in images.items()})
+
+    def loss_dense(p):
+        return training_loss(p, cfg, *args, grad_cp=False, chunked_ce=False)
+
+    def loss_chunked(p):
+        return training_loss(p, cfg, *args, grad_cp=False, chunked_ce=True, ce_chunk_t=16)
+
+    ld, gd = jax.value_and_grad(loss_dense)(params)
+    lc, gc = jax.value_and_grad(loss_chunked)(params)
+    np.testing.assert_allclose(float(lc), float(ld), rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(gd), jax.tree_util.tree_leaves(gc)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-6)
+
+
+def test_chunked_ce_falls_back_when_indivisible(tiny_cfg):
+    import jax
+
+    from visualrwkv_tpu.models.visualrwkv import training_loss
+
+    cfg = tiny_cfg
+    params = vlm.init_visualrwkv_params(jax.random.PRNGKey(0), cfg)
+    ids = np.full((1, 30), 7, np.int64)  # 30 % 128 != 0 -> dense path
+    labels = ids.copy()
+    l = training_loss(params, cfg, jnp.asarray(ids), jnp.asarray(labels), None,
+                      grad_cp=False, chunked_ce=True)
+    assert np.isfinite(float(l))

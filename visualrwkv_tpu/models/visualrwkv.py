@@ -8,6 +8,7 @@ src/model.py:341-530) as pure functions over a combined parameter tree
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -185,15 +186,20 @@ def vlm_forward(
     input_ids: Array,
     images: Optional[Dict[str, Array]] = None,
     grad_cp: bool = False,
+    return_hidden: bool = False,
 ) -> Array:
     x = prepare_embeddings(params, cfg, input_ids, images)
     if cfg.bidirectional_image and images is not None:
+        if return_hidden:
+            raise ValueError("bidirectional path returns logits only")
         start = image_token_span(input_ids)[0]
         return bidirectional_forward(
             params, cfg, x, start, cfg.num_token_per_image, grad_cp
         )
-    logits, _ = lm.lm_forward(params["rwkv"], cfg.rwkv, x, grad_cp=grad_cp)
-    return logits
+    out, _ = lm.lm_forward(
+        params["rwkv"], cfg.rwkv, x, grad_cp=grad_cp, return_hidden=return_hidden
+    )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -225,6 +231,108 @@ def _l2wrap_bwd(logits, g):
 l2wrap.defvjp(_l2wrap_fwd, _l2wrap_bwd)
 
 
+# -- chunked head + CE + L2Wrap (memory-efficient large-vocab loss) ---------
+#
+# The dense loss materializes fp32 [B, T, 65536] logits several times (logits,
+# softmax intermediates, the L2Wrap residual) — ~4.3 GB EACH at B8/T2048, the
+# dominant training-memory term and an HBM OOM at 0B4+ scales on one v5e.
+# This custom_vjp computes the head matmul + shifted CE + L2Wrap per T-chunk
+# in both passes, so peak extra memory is one [B, chunk, V] block. Numerics
+# match the dense loss (fp32 logsumexp/softmax; same per-sample
+# normalization and the same unscaled L2Wrap gradient injection).
+
+
+def _ce_chunk_stats(head_w, h_c, lbl_next_c, valid_c, dt):
+    """Per-chunk fp32 (ce_sum [B], valid_cnt [B]) of the shifted CE."""
+    logits = jnp.matmul(h_c.astype(dt), head_w.astype(dt), preferred_element_type=jnp.float32)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    safe = jnp.where(valid_c, lbl_next_c, 0)
+    gold = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+    ce = jnp.where(valid_c, logz - gold, 0.0)
+    return ce.sum(axis=1), valid_c.sum(axis=1)
+
+
+def _chunk_inputs(hidden, labels, chunk_t):
+    """Slice hidden into T-chunks with the SHIFTED next-token labels/masks."""
+    B, T, C = hidden.shape
+    nc = T // chunk_t
+    h = hidden.reshape(B, nc, chunk_t, C).swapaxes(0, 1)  # [nc, B, Tc, C]
+    # labels for position t are labels[t+1]; final position has none
+    lbl_next = jnp.concatenate(
+        [labels[:, 1:], jnp.full((B, 1), IGNORE_INDEX, labels.dtype)], axis=1
+    )
+    valid = lbl_next != IGNORE_INDEX
+    ln = lbl_next.reshape(B, nc, chunk_t).swapaxes(0, 1)
+    vl = valid.reshape(B, nc, chunk_t).swapaxes(0, 1)
+    return h, ln, vl
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def chunked_ce_l2wrap(chunk_t: int, head_w: Array, hidden: Array, labels: Array) -> Array:
+    loss, _ = _chunked_ce_fwd_impl(chunk_t, head_w, hidden, labels)
+    return loss
+
+
+def _chunked_ce_fwd_impl(chunk_t, head_w, hidden, labels):
+    dt = hidden.dtype
+    h, ln, vl = _chunk_inputs(hidden, labels, chunk_t)
+
+    def body(carry, xs):
+        ce_sum, cnt = carry
+        h_c, ln_c, vl_c = xs
+        s, c = _ce_chunk_stats(head_w, h_c, ln_c, vl_c, dt)
+        return (ce_sum + s, cnt + c), None
+
+    B = hidden.shape[0]
+    (ce_sum, cnt), _ = jax.lax.scan(
+        body, (jnp.zeros((B,), jnp.float32), jnp.zeros((B,), jnp.int32)), (h, ln, vl)
+    )
+    loss = (ce_sum / jnp.maximum(cnt, 1)).mean()
+    return loss, jnp.maximum(cnt, 1)
+
+
+def _chunked_ce_fwd(chunk_t, head_w, hidden, labels):
+    loss, cnt = _chunked_ce_fwd_impl(chunk_t, head_w, hidden, labels)
+    return loss, (head_w, hidden, labels, cnt)
+
+
+def _chunked_ce_bwd(chunk_t, residuals, g):
+    head_w, hidden, labels, cnt = residuals
+    dt = hidden.dtype
+    B, T, C = hidden.shape
+    h, ln, vl = _chunk_inputs(hidden, labels, chunk_t)
+    scale = (g / (B * cnt.astype(jnp.float32)))[:, None]  # [B, 1]
+    l2_factor = 1e-4 / (B * T)  # reference L2Wrap factor (src/model.py:264)
+    V = head_w.shape[-1]
+
+    def body(dw_acc, xs):
+        h_c, ln_c, vl_c = xs
+        logits = jnp.matmul(h_c.astype(dt), head_w.astype(dt), preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(logits, axis=-1)
+        safe = jnp.where(vl_c, ln_c, 0)
+        onehot = jax.nn.one_hot(safe, V, dtype=jnp.float32) * vl_c[..., None]
+        dlogits = (p * vl_c[..., None] - onehot) * scale[:, :, None]
+        # L2Wrap: push the max logit toward 0 on EVERY position; like the
+        # reference, NOT scaled by the upstream cotangent
+        maxx = jnp.max(logits, axis=-1, keepdims=True)
+        ids = jnp.argmax(logits, axis=-1)
+        dlogits = dlogits + jax.nn.one_hot(ids, V, dtype=jnp.float32) * (maxx * l2_factor)
+        dl16 = dlogits.astype(dt)
+        dh_c = jnp.matmul(dl16, head_w.astype(dt).T, preferred_element_type=jnp.float32)
+        dw_c = jnp.matmul(
+            h_c.astype(dt).reshape(-1, C).T, dl16.reshape(-1, V),
+            preferred_element_type=jnp.float32,
+        )
+        return dw_acc + dw_c, dh_c.astype(dt)
+
+    dw, dh = jax.lax.scan(body, jnp.zeros(head_w.shape, jnp.float32), (h, ln, vl))
+    dh = dh.swapaxes(0, 1).reshape(B, T, C)
+    return dw.astype(head_w.dtype), dh.astype(hidden.dtype), None
+
+
+chunked_ce_l2wrap.defvjp(_chunked_ce_fwd, _chunked_ce_bwd)
+
+
 def training_loss(
     params: Params,
     cfg: VLMConfig,
@@ -232,10 +340,31 @@ def training_loss(
     labels: Array,
     images: Optional[Dict[str, Array]] = None,
     grad_cp: bool = True,
+    chunked_ce: bool = True,
+    ce_chunk_t: int = 128,
 ) -> Array:
     """Shifted cross-entropy, per-sample normalized by valid-label count, then
     batch mean, with the L2Wrap logit penalty (reference training_step,
-    src/model.py:418-434)."""
+    src/model.py:418-434).
+
+    ``chunked_ce`` (default) computes head+CE+L2Wrap per T-chunk without ever
+    materializing the full fp32 [B, T, vocab] logits (see chunked_ce_l2wrap);
+    the dense path remains for variants that need whole-sequence logits
+    (bidirectional image forward) and as the numerics oracle in tests.
+    """
+    use_chunked = (
+        chunked_ce
+        and not (cfg.bidirectional_image and images is not None)
+        and input_ids.shape[1] % ce_chunk_t == 0
+    )
+    if use_chunked:
+        hidden = vlm_forward(
+            params, cfg, input_ids, images, grad_cp=grad_cp, return_hidden=True
+        )
+        return chunked_ce_l2wrap(
+            ce_chunk_t, params["rwkv"]["head"]["weight"], hidden, labels
+        )
+
     logits = vlm_forward(params, cfg, input_ids, images, grad_cp=grad_cp)
     shift_logits = logits[:, :-1].astype(jnp.float32)
     shift_labels = labels[:, 1:]
