@@ -238,3 +238,43 @@ def test_batched_eval_matches_single(tmp_path):
         outs[bs] = [json.loads(l) for l in out.read_text().splitlines()]
     assert [r["question_id"] for r in outs[1]] == [1, 2, 3, 4]
     assert outs[1] == outs[3]
+
+
+def test_hfds_eval(tmp_path):
+    """evaluate_hfds.py equivalent over a datasets.Dataset with in-line PIL
+    images (reference evaluate_hfds.py:64-186)."""
+    datasets = pytest.importorskip("datasets")
+    import jax
+    from PIL import Image
+
+    from visualrwkv_tpu.config import RWKVConfig, VisionConfig, VLMConfig
+    from visualrwkv_tpu.data.tokenizer import get_tokenizer
+    from visualrwkv_tpu.evals.hfds import run_hfds_eval
+    from visualrwkv_tpu.infer.engine import InferenceEngine
+    from visualrwkv_tpu.models.visualrwkv import init_visualrwkv_params
+    from visualrwkv_tpu.vision.vit import ViTConfig
+
+    tiny_vit = ViTConfig(img_size=32, patch_size=8, width=32, depth=1, heads=2,
+                         mlp_dim=64, use_cls=False, num_reg=0, layerscale=False)
+    cfg = VLMConfig(
+        rwkv=RWKVConfig(n_layer=2, n_embd=64, vocab_size=66000, head_size=32,
+                        compute_dtype="float32", ctx_len=256),
+        vision=VisionConfig(towers=("dino",), image_size=32, dino_dim=32,
+                            tower_config_overrides={"dino": tiny_vit}),
+        proj_type="linear", num_token_per_image=4,
+    )
+    params = init_visualrwkv_params(jax.random.PRNGKey(0), cfg)
+    engine = InferenceEngine(params, cfg)
+
+    ds = datasets.Dataset.from_dict({
+        "question_id": [0, 1],
+        "question": ["What color?", "Describe."],
+        "image": [Image.new("RGB", (40, 40), (200, 10, 10)),
+                  Image.new("RGB", (40, 40), (10, 200, 10))],
+    })
+    out = tmp_path / "hfds.jsonl"
+    recs = run_hfds_eval(engine, get_tokenizer(), ds, str(out), max_new_tokens=4)
+    assert len(recs) == 2
+    lines = [json.loads(l) for l in out.read_text().splitlines()]
+    assert [r["question_id"] for r in lines] == [0, 1]
+    assert all(set(r) == {"question_id", "prompt", "text", "model_id"} for r in lines)

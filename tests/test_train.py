@@ -269,3 +269,55 @@ def test_stacked_layers_ineligible_configs_fall_back():
     tr = Trainer(cfg, tcfg, jax.tree_util.tree_map(jnp.copy, params), mesh=make_mesh(n_data=1))
     assert not tr.stacked
     assert "blocks" in tr.state.params["rwkv"]
+
+
+def test_streamed_offload_matches_regular():
+    """offload_optimizer (streamed per-block host-resident optimizer,
+    train/offload.py) must track the regular in-jit optimizer: same losses
+    and near-identical parameters on the same data."""
+    cfg = tiny_vlm_cfg()
+    params = init_visualrwkv_params(jax.random.PRNGKey(0), cfg)
+    fixed = make_batch(jax.random.PRNGKey(1))
+    mesh = make_mesh(n_data=1)
+
+    out = {}
+    for offload in (False, True):
+        tcfg = TrainConfig(
+            lr_init=1e-2, lr_final=1e-2, epoch_steps=4, epoch_count=1,
+            micro_bsz=8, grad_cp=False, zero_stage=0, grad_clip=1.0,
+            offload_optimizer=offload,
+        )
+        tr = Trainer(cfg, tcfg, jax.tree_util.tree_map(jnp.copy, params), mesh=mesh)
+        assert (tr._streamed is not None) == offload
+        tr.run_epoch(lambda s: fixed, epoch=0)
+        out[offload] = (
+            [h["loss"] for h in tr.history],
+            jax.tree_util.tree_map(np.asarray, tr.state.params),
+            tr,
+        )
+
+    losses_reg, params_reg, _ = out[False]
+    losses_off, params_off, tr_off = out[True]
+    np.testing.assert_allclose(losses_off, losses_reg, rtol=1e-4, atol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params_reg), jax.tree_util.tree_leaves(params_off)
+    ):
+        np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-5)
+
+    # checkpoint round-trip through the streamer's host state
+    import tempfile
+    from pathlib import Path
+
+    with tempfile.TemporaryDirectory() as td:
+        path = str(Path(td) / "ckpt")
+        tr_off.save_checkpoint(path)
+        before = [np.asarray(x) for x in jax.tree_util.tree_leaves(tr_off._streamed.opt_state)]
+        tr_off._streamed.opt_state = jax.tree_util.tree_map(
+            lambda x: jnp.zeros_like(x) if hasattr(x, "shape") else x,
+            tr_off._streamed.opt_state,
+        )
+        tr_off.state.opt_state = tr_off._streamed.opt_state
+        tr_off.load_checkpoint(path)
+        after = [np.asarray(x) for x in jax.tree_util.tree_leaves(tr_off._streamed.opt_state)]
+        for a, b in zip(before, after):
+            np.testing.assert_array_equal(a, b)

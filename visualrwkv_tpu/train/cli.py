@@ -198,6 +198,8 @@ def main(argv=None):
 
     mesh = make_mesh(n_data=args.n_data)
     trainer = Trainer(vlm_cfg, tcfg, params, mesh=mesh, proj_dir=args.proj_dir, log_every=1)
+    del params  # the fp32 init tree must not outlive the trainer's cast copy
+    # (at 1B5 a lingering caller reference holds ~6 GB of HBM for the run)
 
     # reference real_bsz = nodes * devices * micro_bsz (train.py:98); here the
     # global per-step batch is micro_bsz per data-mesh slot, times grad accum

@@ -187,10 +187,53 @@ class Trainer:
         else:
             p_shard = replicated_sharding(params, self.mesh)
         self.params = jax.tree_util.tree_map(jax.device_put, params, p_shard)
-        state, self.opt = create_train_state(self.params, train_cfg, vlm_cfg, total_steps)
+
+        # streamed host-offloaded optimizer (DeepSpeedCPUAdam analog): state
+        # in pinned host memory, ONE block's slice device-resident at a time
+        # (the in-jit whole-tree round-trip OOMs at 1B5; see train/offload.py)
+        self._streamed = None
+        if (
+            train_cfg.offload_optimizer
+            and not self.stacked
+            and "blocks" in self.params.get("rwkv", {})
+            and not (0 < train_cfg.freeze_rwkv_layers < vlm_cfg.rwkv.n_layer)
+        ):
+            from visualrwkv_tpu.train.offload import (
+                StreamedOffloadOptimizer,
+                make_offload_grad_step,
+            )
+
+            self._streamed = StreamedOffloadOptimizer(
+                train_cfg, vlm_cfg, self.params, total_steps, self.mesh
+            )
+            self._grad_step = make_offload_grad_step(train_cfg, vlm_cfg)
+            self.opt = None
+            self.state = TrainState(
+                params=self.params,
+                opt_state=self._streamed.opt_state,
+                step=jnp.zeros((), jnp.int32),
+            )
+            self.train_step = None
+            from visualrwkv_tpu.utils.observability import ThroughputMeter, TrainLogWriter
+
+            self.meter = ThroughputMeter()
+            self.train_log = TrainLogWriter(
+                proj_dir,
+                run_config={"train": vars(train_cfg) if hasattr(train_cfg, "__dict__") else str(train_cfg)},
+                wandb_project=train_cfg.wandb_project,
+            )
+            self.history = []
+            return
+
+        self.opt = make_optimizer(train_cfg, self.params, total_steps, vlm_cfg.rwkv.n_layer)
         opt_host = opt_dev = None
         if train_cfg.zero_stage >= 1 or train_cfg.offload_optimizer:
-            o_shard = zero_sharding(state.opt_state, self.mesh)
+            # initialize the optimizer state DIRECTLY into its target
+            # shardings (jit out_shardings on the eval_shape'd structure):
+            # materializing 12-18 GB of fp32 masters+moments in HBM first and
+            # moving them after is itself an OOM at 1B5+ on one chip
+            opt_shape = jax.eval_shape(self.opt.init, self.params)
+            o_shard = zero_sharding(opt_shape, self.mesh)
             if train_cfg.offload_optimizer and jax.default_backend() == "tpu":
                 # DeepSpeedCPUAdam analog: optimizer moments live in pinned
                 # host memory; the train step streams them through HBM
@@ -199,10 +242,12 @@ class Trainer:
                     lambda s: s.with_memory_kind("pinned_host"), o_shard
                 )
                 o_shard = opt_host
-            state.opt_state = jax.tree_util.tree_map(
-                jax.device_put, state.opt_state, o_shard
-            )
-        self.state = state
+            opt_state = jax.jit(self.opt.init, out_shardings=o_shard)(self.params)
+        else:
+            opt_state = jax.jit(self.opt.init)(self.params)
+        self.state = TrainState(
+            params=self.params, opt_state=opt_state, step=jnp.zeros((), jnp.int32)
+        )
         self.train_step = make_train_step(
             train_cfg, vlm_cfg, self.opt, self.mesh,
             opt_host_shardings=opt_host, opt_device_shardings=opt_dev,
@@ -215,6 +260,13 @@ class Trainer:
             proj_dir, run_config={"train": vars(train_cfg) if hasattr(train_cfg, "__dict__") else str(train_cfg)},
             wandb_project=train_cfg.wandb_project,
         )
+
+    def _streamed_step(self, params, batch):
+        """Streamed-offload step: jitted grad on device, then per-group host
+        round-trip optimizer updates (train/offload.py)."""
+        loss, grads = self._grad_step(params, batch)
+        new_params = self._streamed.apply(grads, params)
+        return new_params, loss
 
     def run_epoch(self, batch_fn: Callable[[int], Dict], epoch: int) -> float:
         cfg = self.cfg
@@ -234,9 +286,14 @@ class Trainer:
             # `model`) instead of being GSPMD-replicated as opaque custom calls
             with self.mesh, wkv_spmd(self.mesh if self._multi_device else None):
                 device_batch = shard_batch(batch, self.mesh)
-                params, opt_state, step, loss = self.train_step(
-                    params, opt_state, step, device_batch
-                )
+                if self._streamed is not None:
+                    params, loss = self._streamed_step(params, device_batch)
+                    opt_state = self._streamed.opt_state
+                    step = step + 1
+                else:
+                    params, opt_state, step, loss = self.train_step(
+                        params, opt_state, step, device_batch
+                    )
             tokens = int(np.prod(batch["input_ids"].shape))
             rates = self.meter.step(batch["input_ids"].shape[0], tokens)
             if s % self.log_every == 0 or s == cfg.epoch_steps - 1:
@@ -323,5 +380,14 @@ class Trainer:
                 self.state.opt_state,
                 restored["opt_state"],
             )
+            if self._streamed is not None:
+                # push restored leaves back to the streamer's host buffers
+                self._streamed.opt_state = jax.tree_util.tree_map(
+                    lambda x, t: jax.device_put(x, t.sharding)
+                    if hasattr(t, "sharding")
+                    else x,
+                    self.state.opt_state,
+                    self._streamed.opt_state,
+                )
         if "step" in restored:
             self.state.step = jnp.asarray(restored["step"], jnp.int32)
