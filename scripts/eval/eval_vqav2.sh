@@ -14,8 +14,11 @@ for IDX in $(seq 0 $((N-1))); do
       --question_file "$QUESTION_FILE" --image_folder "$IMAGE_FOLDER" \
       --output_file "$OUT_DIR/answers_${N}_${IDX}.jsonl" \
       --num_chunks "$N" --chunk_idx "$IDX" &
+  PIDS+=($!)
 done
-wait
+FAIL=0
+for pid in "${PIDS[@]}"; do wait "$pid" || FAIL=1; done
+[ "$FAIL" -ne 0 ] && { echo "ERROR: eval chunk failed" >&2; exit 1; }
 cat "$OUT_DIR"/answers_${N}_*.jsonl > "$OUT_DIR/answers.jsonl"
 python -c "
 from visualrwkv_tpu.evals.converters import convert_vqav2_for_submission

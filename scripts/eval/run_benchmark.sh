@@ -22,6 +22,9 @@ case "$BENCH" in
   interleave) STRATEGY=multi ;;
 esac
 
+# NOTE: on a single-accelerator host run with N=1 (TPU runtime holds an
+# exclusive device lock; the reference's fan-out assumed one GPU per chunk).
+PIDS=()
 for IDX in $(seq 0 $((N-1))); do
   python -m visualrwkv_tpu.evals.cli \
       --model_path "$MODEL_PATH" \
@@ -30,8 +33,16 @@ for IDX in $(seq 0 $((N-1))); do
       --image_strategy "$STRATEGY" \
       --output_file "$OUT_DIR/answers_${N}_${IDX}.jsonl" \
       --num_chunks "$N" --chunk_idx "$IDX" "$@" &
+  PIDS+=($!)
 done
-wait
+FAIL=0
+for pid in "${PIDS[@]}"; do
+  wait "$pid" || FAIL=1
+done
+if [ "$FAIL" -ne 0 ]; then
+  echo "ERROR: one or more eval chunks failed; refusing to score a partial run" >&2
+  exit 1
+fi
 cat "$OUT_DIR"/answers_${N}_*.jsonl > "$OUT_DIR/answers.jsonl"
 
 python - "$BENCH" "$OUT_DIR" <<'PY'

@@ -39,6 +39,11 @@ def build_engine(args):
         from visualrwkv_tpu.convert.pth_import import import_rwkv_state_dict, load_pth
 
         params["rwkv"] = import_rwkv_state_dict(load_pth(args.model_path))
+    if args.strategy:
+        # reference-style strategy string, e.g. "tpu bf16i8 s16"
+        from visualrwkv_tpu.infer.strategy import make_engine
+
+        return make_engine(params, cfg, args.strategy), cfg
     if args.quant == "int8":
         from visualrwkv_tpu.infer.quant import quantize_lm_params
 
@@ -83,6 +88,8 @@ def main(argv=None):
     p.add_argument("--num_token_per_image", default=1024, type=int)
     p.add_argument("--vision_towers", default="dino,siglip,sam")
     p.add_argument("--quant", default="none", choices=["none", "int8"])
+    p.add_argument("--strategy", default="", type=str,
+                   help="strategy string (overrides --quant/--state_dtype), e.g. 'tpu bf16i8 s16'")
     p.add_argument("--state_dtype", default="float32", choices=["float32", "bfloat16"],
                    help="decode WKV state carry dtype (bf16 ~= 1.5x decode throughput)")
     p.add_argument("--share", action="store_true")

@@ -77,6 +77,13 @@ def main(argv=None):
             loaded = import_visualrwkv_checkpoint(sd, dst_grid=cfg.vision.image_size // 14)
             params.update(loaded)
             logging.info("loaded combined checkpoint (%d tensors) from %s", len(sd), args.model_path)
+            for part in ("vit", "proj"):
+                if part not in loaded and part in params:
+                    logging.warning(
+                        "checkpoint has no %s.* keys: the %s stays RANDOMLY "
+                        "INITIALIZED (load the towers separately or expect "
+                        "garbage outputs)", part, part,
+                    )
         else:
             rwkv_keys = {k[5:] if k.startswith("rwkv.") else k: v for k, v in sd.items()}
             params["rwkv"] = import_rwkv_state_dict(rwkv_keys)

@@ -125,7 +125,13 @@ def n_images_for_strategy(line: Dict, image_folder: Optional[Path], strategy: st
     """Images-per-sample for a question WITHOUT decoding pixels (PIL.open is
     header-lazy), so batching keys can be derived cheaply."""
     if strategy == "video":
-        return max(1, line["text"].count("<image>"))
+        from visualrwkv_tpu.data.tiling import load_video_frame_paths
+
+        # a short video yields fewer frames than the prompt's <image> count;
+        # the prompt and the pixel batch must agree (build_image_dict samples
+        # min(count, available) frames)
+        n_frames = len(load_video_frame_paths(Path(image_folder) / line["video"]))
+        return max(1, min(line["text"].count("<image>"), n_frames))
     if strategy == "uhd":
         return 5  # global + 2x2 tiles
     if strategy == "multi":
@@ -185,9 +191,13 @@ def run_eval(
     for q in prepared:
         groups.setdefault((q["ids"].shape[-1], q["n_img"]), []).append(q)
 
+    # records stream to disk as each batch completes (crash/preemption keeps
+    # the finished answers, like the old per-question flush); on success the
+    # file is rewritten in the original question order
     records: Dict[int, Dict] = {}
     done = 0
     bs = max(1, batch_size)
+    partial = open(out_path, "w")
     for key in groups:
         queue = groups[key]
         for start in range(0, len(queue), bs):
@@ -226,10 +236,14 @@ def run_eval(
                         "image_file": q["line"].get("image"),
                     },
                 }
+            for q in chunk:
+                partial.write(json.dumps(records[q["order"]], ensure_ascii=False) + "\n")
+            partial.flush()
             done += len(chunk)
             if progress:
                 log.info("eval %d/%d", done, len(prepared))
 
+    partial.close()
     results = [records[k] for k in sorted(records)]
     with open(out_path, "w") as f:
         for rec in results:

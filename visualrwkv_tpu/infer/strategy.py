@@ -64,6 +64,16 @@ def parse_strategy(s: str) -> Strategy:
     )
 
 
+def make_engine(params, cfg, strategy):
+    """Build an InferenceEngine from a strategy string (the one-call serving
+    entry point: quantization + dtype placement + state carry dtype)."""
+    s = parse_strategy(strategy) if isinstance(strategy, str) else strategy
+    params = apply_strategy(params, s)
+    from visualrwkv_tpu.infer.engine import InferenceEngine
+
+    return InferenceEngine(params, cfg, state_dtype=s.state_dtype)
+
+
 def apply_strategy(params, strategy: Strategy):
     """Cast/quantize a parameter tree and place it on the strategy's device."""
     if strategy.int8_weights:

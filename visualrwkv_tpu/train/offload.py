@@ -108,10 +108,7 @@ class StreamedOffloadOptimizer:
 
             out_sh = (
                 jax.tree_util.tree_map(lambda _: self._dev, params_template),
-                jax.tree_util.tree_map(
-                    lambda x: self._host if hasattr(x, "shape") else self._host,
-                    opt_template,
-                ),
+                jax.tree_util.tree_map(lambda _: self._host, opt_template),
             )
             # ONE jit per group structure (blocks 1..L-1 share it)
             return jax.jit(upd, out_shardings=out_sh, donate_argnums=(1, 2))
@@ -147,42 +144,18 @@ class StreamedOffloadOptimizer:
 
 
 def make_offload_grad_step(cfg: TrainConfig, vlm_cfg: VLMConfig):
-    """Jitted (loss, clipped grads) for the streamed path; mirrors
-    make_train_step's accumulation + fp32 global-norm clipping."""
+    """Jitted (loss, clipped grads) for the streamed path (shared accum+clip
+    core: optim.value_and_clipped_grads)."""
     from visualrwkv_tpu.models.visualrwkv import training_loss
-
-    accum = max(1, cfg.accumulate_grad_batches)
+    from visualrwkv_tpu.train.optim import value_and_clipped_grads
 
     def loss_fn(params, micro):
         return training_loss(params, vlm_cfg, micro["input_ids"], micro["labels"],
                              micro.get("images"), grad_cp=cfg.grad_cp)
 
     def step(params, batch):
-        if accum == 1:
-            loss, grads = jax.value_and_grad(loss_fn)(params, batch)
-        else:
-            def sp(x):
-                return x.reshape(accum, x.shape[0] // accum, *x.shape[1:])
-
-            micro_batches = jax.tree_util.tree_map(sp, batch)
-
-            def body(carry, micro):
-                ls, gs = carry
-                loss, grads = jax.value_and_grad(loss_fn)(params, micro)
-                return (ls + loss, jax.tree_util.tree_map(jnp.add, gs, grads)), None
-
-            zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
-            (loss, grads), _ = jax.lax.scan(body, (jnp.zeros(()), zeros), micro_batches)
-            loss = loss / accum
-            grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
-
-        if cfg.grad_clip > 0:
-            sq = sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
-                     for x in jax.tree_util.tree_leaves(grads))
-            scale = jnp.minimum(1.0, cfg.grad_clip / jnp.maximum(jnp.sqrt(sq), 1e-12))
-            grads = jax.tree_util.tree_map(
-                lambda x: (x.astype(jnp.float32) * scale).astype(x.dtype), grads
-            )
-        return loss, grads
+        return value_and_clipped_grads(
+            loss_fn, params, batch, cfg.accumulate_grad_batches, cfg.grad_clip
+        )
 
     return jax.jit(step)

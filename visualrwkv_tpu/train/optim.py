@@ -130,6 +130,41 @@ def with_fp32_master(
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def value_and_clipped_grads(loss_fn, params, batch, accum: int, grad_clip: float):
+    """Shared loss+grad core of the train steps: in-jit gradient accumulation
+    over a leading axis plus fp32 global-norm clipping (the
+    clip_by_global_norm_f32 semantics, applied to the grads directly)."""
+    accum = max(1, accum)
+    if accum == 1:
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+    else:
+        def sp(x):
+            return x.reshape(accum, x.shape[0] // accum, *x.shape[1:])
+
+        micro_batches = jax.tree_util.tree_map(sp, batch)
+
+        def body(carry, micro):
+            ls, gs = carry
+            loss, grads = jax.value_and_grad(loss_fn)(params, micro)
+            return (ls + loss, jax.tree_util.tree_map(jnp.add, gs, grads)), None
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        (loss, grads), _ = jax.lax.scan(body, (jnp.zeros(()), zeros), micro_batches)
+        loss = loss / accum
+        grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+
+    if grad_clip > 0:
+        sq = sum(
+            jnp.sum(jnp.square(x.astype(jnp.float32)))
+            for x in jax.tree_util.tree_leaves(grads)
+        )
+        scale = jnp.minimum(1.0, grad_clip / jnp.maximum(jnp.sqrt(sq), 1e-12))
+        grads = jax.tree_util.tree_map(
+            lambda x: (x.astype(jnp.float32) * scale).astype(x.dtype), grads
+        )
+    return loss, grads
+
+
 def weight_decay_mask(params: Params) -> Params:
     """True where the squeezed parameter has >= 2 dims (gets weight decay).
 

@@ -82,32 +82,13 @@ def make_train_step(
             grad_cp=cfg.grad_cp,
         )
 
-    def split_accum(batch):
-        def sp(x):
-            return x.reshape(accum, x.shape[0] // accum, *x.shape[1:])
-
-        return jax.tree_util.tree_map(sp, batch)
-
     def step_fn(state_params, opt_state, step, batch):
-        if accum == 1:
-            loss, grads = jax.value_and_grad(loss_fn)(state_params, batch)
-        else:
-            micro_batches = split_accum(batch)
+        # clipping stays inside the optimizer chain (clip_by_global_norm_f32)
+        from visualrwkv_tpu.train.optim import value_and_clipped_grads
 
-            def body(carry, micro):
-                loss_sum, grad_sum = carry
-                loss, grads = jax.value_and_grad(loss_fn)(state_params, micro)
-                return (
-                    loss_sum + loss,
-                    jax.tree_util.tree_map(jnp.add, grad_sum, grads),
-                ), None
-
-            zeros = jax.tree_util.tree_map(jnp.zeros_like, state_params)
-            (loss_sum, grad_sum), _ = jax.lax.scan(
-                body, (jnp.zeros(()), zeros), micro_batches
-            )
-            loss = loss_sum / accum
-            grads = jax.tree_util.tree_map(lambda g: g / accum, grad_sum)
+        loss, grads = value_and_clipped_grads(
+            loss_fn, state_params, batch, accum, grad_clip=0.0
+        )
 
         if opt_device_shardings is not None:
             opt_state = jax.tree_util.tree_map(
@@ -375,19 +356,26 @@ class Trainer:
             lambda a, b: jnp.asarray(b, a.dtype), self.state.params, restored_params
         )
         if "opt_state" in restored:
-            self.state.opt_state = jax.tree_util.tree_map(
-                lambda a, b: jnp.asarray(b, a.dtype) if hasattr(a, "dtype") else b,
-                self.state.opt_state,
-                restored["opt_state"],
-            )
             if self._streamed is not None:
-                # push restored leaves back to the streamer's host buffers
+                # restore straight into the streamer's pinned-host shardings —
+                # a leaf-wise jnp.asarray would materialize the full fp32
+                # masters+moments (~18 GB at 1B5) in HBM, the exact OOM the
+                # streamed design exists to avoid
                 self._streamed.opt_state = jax.tree_util.tree_map(
-                    lambda x, t: jax.device_put(x, t.sharding)
+                    lambda t, b: jax.device_put(
+                        np.asarray(b, getattr(t, "dtype", None)), t.sharding
+                    )
                     if hasattr(t, "sharding")
-                    else x,
-                    self.state.opt_state,
+                    else b,
                     self._streamed.opt_state,
+                    restored["opt_state"],
+                )
+                self.state.opt_state = self._streamed.opt_state
+            else:
+                self.state.opt_state = jax.tree_util.tree_map(
+                    lambda a, b: jnp.asarray(b, a.dtype) if hasattr(a, "dtype") else b,
+                    self.state.opt_state,
+                    restored["opt_state"],
                 )
         if "step" in restored:
             self.state.step = jnp.asarray(restored["step"], jnp.int32)
