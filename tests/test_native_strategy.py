@@ -51,3 +51,29 @@ def test_strategy_state_dtype_token():
     assert s.int8_weights and s.state_dtype == "bfloat16"
     assert parse_strategy("tpu bf16").state_dtype == "float32"
     assert parse_strategy("cpu fp32 s32").state_dtype == "float32"
+
+
+def test_make_engine_from_strategy_string():
+    """make_engine: one-call serving setup (quant + dtypes + state carry)."""
+    import jax
+    import jax.numpy as jnp
+
+    from visualrwkv_tpu.config import RWKVConfig, VisionConfig, VLMConfig
+    from visualrwkv_tpu.infer.strategy import make_engine
+    from visualrwkv_tpu.models.visualrwkv import init_visualrwkv_params
+
+    cfg = VLMConfig(
+        rwkv=RWKVConfig(n_layer=2, n_embd=256, vocab_size=66000, head_size=64,
+                        compute_dtype="float32", ctx_len=128),
+        vision=VisionConfig(towers=()), proj_type="linear",
+    )
+    params = init_visualrwkv_params(jax.random.PRNGKey(0), cfg)
+    eng = make_engine(params, cfg, "cpu fp32 s16")
+    assert eng.state_dtype == jnp.bfloat16
+    import numpy as np
+
+    res = eng.generate(np.array([[11, 22, 33, 44]]), max_new_tokens=4, stop_tokens=(-1,))
+    assert res.tokens.shape == (1, 4)
+    # int8 weights materialize as weight_q
+    eng2 = make_engine(params, cfg, "cpu fp32i8")
+    assert "weight_q" in eng2.params["rwkv"]["head"]
