@@ -116,3 +116,17 @@ def test_wkv6_step_kernel_matches_jnp_step():
     s_pal, y_pal = wkv6_step_pallas(st, r, w, k, v, u)
     assert rel_err(s_pal, s_ref) < 1e-6
     assert rel_err(y_pal, y_ref) < 1e-6
+
+
+@pytest.mark.parametrize("t_block,g_heads", [(64, 2), (128, 4)])
+def test_pallas_v2_matches_reference(t_block, g_heads):
+    """Chunk-batched v2 forward (interpret mode on CPU) vs the golden scan."""
+    from visualrwkv_tpu.ops.wkv7_pallas import wkv7_pallas_v2
+
+    inputs = make_inputs(jax.random.PRNGKey(3), B=2, T=256, H=4, N=16)
+    s0 = jax.random.normal(jax.random.PRNGKey(9), (2, 4, 16, 16), jnp.float32)
+    y_ref, s_ref = wkv7_reference(*inputs, initial_state=s0)
+    y_v2, s_v2 = wkv7_pallas_v2(*inputs, initial_state=s0, chunk=32,
+                                t_block=t_block, g_heads=g_heads)
+    assert rel_err(y_v2, y_ref) < 1e-5
+    assert rel_err(s_v2, s_ref) < 1e-5

@@ -480,3 +480,162 @@ def wkv7_pallas_bwd(r, w_raw, k, v, a, b, zin, dy, dzfinal,
     d_initial = jnp.swapaxes(dz0.reshape(B, H, N, N), -1, -2)
     return (unflat(dr), unflat(dw), unflat(dk), unflat(dv), unflat(da),
             unflat(db), d_initial)
+
+
+# ---------------------------------------------------------------------------
+# v2 forward: chunk-local work batched across chunks (serving prefill)
+# ---------------------------------------------------------------------------
+#
+# The v1 kernel runs one grid program per (head-group, chunk); each program
+# issues ~30 small ops on [L,N] tiles, and Mosaic executes grid programs
+# sequentially -- suspected op-granularity bound (G sweeps 4..64 move it ~3%).
+# v2 processes a whole T-block (nb chunks) per program: every chunk-LOCAL
+# quantity (decay adjustments, M/N matrices, T-inverse, local outputs) is
+# computed with dots batched over [G*nb], leaving only the boundary
+# recurrence sequential.
+#
+# MEASURED (v5e, B8 T512 H32 N64, scan-chained): v1 1.78 ms/layer; v2 best
+# 1.62 ms/layer (t_block=512, g_heads=4) -- only ~9%: the sequential per-chunk
+# boundary tail (VMEM-scratch round-trips + reshapes) absorbs most of what
+# the batched local phase saves. NOT dispatched by default; kept as the
+# measured record of this design point for future kernel work.
+
+
+def _wkv7_v2_kernel(init_ref, r_ref, w_ref, k_ref, v_ref, a_ref, b_ref,
+                    y_ref, s_out_ref, z_scratch, *, L: int, nb: int, nt: int,
+                    G: int, mxu_dtype):
+    t = pl.program_id(1)
+    f32 = jnp.float32
+    bf = mxu_dtype
+    GB = G * nb
+
+    @pl.when(t == 0)
+    def _():
+        z_scratch[:] = init_ref[:]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    cum = (cols <= rows).astype(f32)
+    strict = (cols < rows).astype(f32)
+    incl = cum
+
+    def chunked(ref, dt):
+        x = ref[...].astype(dt)  # [G, Tblk, N]
+        return x.reshape(GB, L, -1)
+
+    r = chunked(r_ref, f32)
+    w = chunked(w_ref, f32)
+    k = chunked(k_ref, f32)
+    v = chunked(v_ref, bf)
+    a = chunked(a_ref, f32)
+    b = chunked(b_ref, f32)
+    N = r.shape[-1]
+
+    logw = -jnp.exp(w)  # [GB, L, N]
+    g = jnp.einsum("ts,gsn->gtn", cum, logw, preferred_element_type=f32)
+    g_prev = g - logw
+    g_last = g[:, -1:, :]
+
+    e_g = jnp.exp(g)
+    e_ng = jnp.exp(-g)
+    e_tail = jnp.exp(g_last - g)
+
+    a_t32 = a * jnp.exp(g_prev)
+    b_h32 = b * e_ng
+    k_h32 = k * e_ng
+    r_t = (r * e_g).astype(bf)
+    b_bar = (b * e_tail).astype(bf)
+    k_bar = (k * e_tail).astype(bf)
+    b_h = b_h32.astype(bf)
+    k_h = k_h32.astype(bf)
+    a_tb = a_t32.astype(bf)
+
+    # batched over GB: the op count is O(1) in nb instead of O(nb)
+    m_mat = _bdot(a_t32, _btr(b_h32)) * strict
+    n_mat = _bdot(a_t32, _btr(k_h32)) * strict
+    t_inv = _btri_inverse(m_mat, L).astype(bf)
+
+    nv = _bdot(n_mat.astype(bf), v).astype(bf)
+    sb = (_bdot(r_t, _btr(b_h)) * incl).astype(bf)
+    sk = (_bdot(r_t, _btr(k_h)) * incl).astype(bf)
+    ta = _bdot(t_inv, a_tb).astype(bf)      # [GB, L, N]
+    tu = _bdot(t_inv, nv).astype(bf)        # [GB, L, Nv] local part of U
+    y_loc = (_bdot(sb, tu) + _bdot(sk, v)).astype(bf)
+    q_eff = (r_t.astype(f32) + _bdot(sb, ta)).astype(bf)
+    bta = _bdot(_btr(b_bar), ta).astype(bf)  # [GB, N, N]
+    h_loc = (_bdot(_btr(b_bar), tu) + _bdot(_btr(k_bar), v)).astype(bf)
+    p_last = jnp.exp(g_last)  # [GB, 1, N]
+
+    # sequential boundary recurrence: 2 dots + 1 dot per chunk
+    for c in range(nb):
+        z = z_scratch[...]  # [G, N, N] fp32
+        sl = lambda x: x.reshape(G, nb, L, -1)[:, c]
+        y_c = _bdot(sl(q_eff), z.astype(bf)) + sl(y_loc)
+        y_ref[:, c * L : (c + 1) * L, :] = y_c.astype(y_ref.dtype)
+        zn = (
+            p_last.reshape(G, nb, 1, N)[:, c].transpose(0, 2, 1) * z
+            + _bdot(bta.reshape(G, nb, N, N)[:, c].astype(bf), z.astype(bf))
+            + h_loc.reshape(G, nb, N, -1)[:, c]
+        )
+        z_scratch[...] = zn
+
+    @pl.when(t == nt - 1)
+    def _():
+        s_out_ref[...] = z_scratch[...]
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "t_block", "g_heads"))
+def wkv7_pallas_v2(
+    r: Array,
+    w_raw: Array,
+    k: Array,
+    v: Array,
+    a: Array,
+    b: Array,
+    initial_state: Optional[Array] = None,
+    chunk: int = 32,
+    t_block: int = 256,
+    g_heads: int = 4,
+) -> Tuple[Array, Array]:
+    """Chunk-batched fused forward. Same semantics as wkv7_pallas.
+    Requires T % t_block == 0 and t_block % chunk == 0."""
+    B, T, H, N = r.shape
+    L = chunk
+    if T % t_block or t_block % L:
+        raise ValueError(f"T={T} must tile by t_block={t_block} (chunk {L})")
+    nb = t_block // L
+    nt = T // t_block
+    BH = B * H
+    G = g_heads
+    while BH % G:
+        G //= 2
+
+    def flat(x):
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(BH, T, N)
+
+    rf, wf, kf, vf, af, bf_ = (flat(x) for x in (r, w_raw, k, v, a, b))
+    if initial_state is None:
+        z0 = jnp.zeros((BH, N, N), jnp.float32)
+    else:
+        z0 = jnp.swapaxes(initial_state.astype(jnp.float32), -1, -2).reshape(BH, N, N)
+
+    in_spec = pl.BlockSpec((G, t_block, N), lambda bh, t: (bh, t, 0), memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((G, N, N), lambda bh, t: (bh, 0, 0), memory_space=pltpu.VMEM)
+    mxu_dtype = jnp.bfloat16 if r.dtype == jnp.bfloat16 else jnp.float32
+
+    y, s_out = pl.pallas_call(
+        functools.partial(_wkv7_v2_kernel, L=L, nb=nb, nt=nt, G=G, mxu_dtype=mxu_dtype),
+        grid=(BH // G, nt),
+        in_specs=[state_spec] + [in_spec] * 6,
+        out_specs=(in_spec, state_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, T, N), r.dtype),
+            jax.ShapeDtypeStruct((BH, N, N), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((G, N, N), jnp.float32)],
+        interpret=jax.default_backend() == "cpu",
+    )(z0, rf, wf, kf, vf, af, bf_)
+
+    y = jnp.transpose(y.reshape(B, H, T, N), (0, 2, 1, 3))
+    final_state = jnp.swapaxes(s_out.reshape(B, H, N, N), -1, -2)
+    return y, final_state
