@@ -278,3 +278,21 @@ def test_hfds_eval(tmp_path):
     lines = [json.loads(l) for l in out.read_text().splitlines()]
     assert [r["question_id"] for r in lines] == [0, 1]
     assert all(set(r) == {"question_id", "prompt", "text", "model_id"} for r in lines)
+
+
+def test_video_n_images_clamps_to_available_frames(tmp_path):
+    """A prompt with more <image> markers than the video has frames must use
+    the frame count (sample_video_frames caps there), keeping prompt image
+    spans in sync with the pixel batch."""
+    from PIL import Image
+
+    from visualrwkv_tpu.evals.runner import n_images_for_strategy
+
+    vdir = tmp_path / "vid"
+    vdir.mkdir()
+    for i in range(3):
+        Image.new("RGB", (16, 16), (i * 50, 0, 0)).save(vdir / f"f{i}.jpg")
+    line = {"video": "vid", "text": "<image>" * 8 + "\nWhat happens?"}
+    assert n_images_for_strategy(line, tmp_path, "video") == 3
+    line2 = {"video": "vid", "text": "<image><image>\nWhat happens?"}
+    assert n_images_for_strategy(line2, tmp_path, "video") == 2
