@@ -133,7 +133,12 @@ class TrainConfig:
     epoch_count: int = 2
     epoch_begin: int = 0
     epoch_save: int = 1
-    grad_cp: bool = True  # activation checkpointing per block
+    # activation checkpointing per block: False | True (full per-block remat)
+    # | "dots" (save MXU outputs, recompute elementwise only). MEASURED at
+    # 0B4/B2/T2048 stacked: dots is ~9% SLOWER than full remat (13.9k vs
+    # 15.2k tok/s) AND needs ~3 GB more HBM - the backward is WKV-kernel
+    # bound, not projection-recompute bound. Default stays full.
+    grad_cp: Any = True
     # freezing controls (reference model.py:368-388, train.py:192-196)
     freeze_rwkv_layers: int = 0
     freeze_emb: bool = False

@@ -345,6 +345,15 @@ def embed(params: Params, tokens: Array) -> Array:
     return params["emb"]["weight"][tokens]
 
 
+def _remat_policy(grad_cp):
+    """grad_cp: False | True ("full" per-block remat) | "dots" (save MXU
+    outputs, recompute only elementwise/norms — trades ~2x activation memory
+    for skipping the projection recompute in the backward)."""
+    if grad_cp == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    return None
+
+
 def rwkv7_forward(
     params: Params,
     cfg: RWKVConfig,
@@ -378,7 +387,7 @@ def rwkv7_forward(
         if grad_cp:
             fn = jax.checkpoint(
                 lambda p, xx, vf, ss, i=i: block_x070(p, cfg, i, xx, vf, ss),
-                static_argnums=(),
+                policy=_remat_policy(grad_cp),
             )
             x, v_first, ns = fn(blk, x, v_first, st)
         else:
@@ -469,7 +478,7 @@ def rwkv7_forward_stacked(
         xx, vf = carry
         fn = lambda b, xc, vc: block_x070(b, cfg, 1, xc, vc)[:2]
         if grad_cp:
-            fn = jax.checkpoint(fn)
+            fn = jax.checkpoint(fn, policy=_remat_policy(grad_cp))
         xx, vf = fn(blk, xx, vf)
         return (xx, vf), None
 
