@@ -226,7 +226,7 @@ def wkv6(
     """Entry point used by the models: fully-fused Pallas forward AND backward
     on TPU ("auto"); jnp chunked elsewhere. SPMD-partitioned per (batch, head)
     under a mesh declared via ``ops.wkv7.set_wkv_spmd``."""
-    from visualrwkv_tpu.ops.wkv7 import _IMPL_MODE, _spmd_axes
+    from visualrwkv_tpu.ops.wkv7 import _IMPL_MODE, _SPMD_DECLINED, _spmd_axes
 
     T = r.shape[1]
     use_pallas = _IMPL_MODE == "pallas" or (
@@ -243,6 +243,11 @@ def wkv6(
     spmd = _spmd_axes(r.shape[0], r.shape[2])
     if spmd is None:
         return fn_cv(eff_chunk, r, w_raw, k, v, u, initial_state)
+    if spmd is _SPMD_DECLINED:
+        # mesh declared but axes don't divide batch/heads: use the chunked
+        # jnp impl so GSPMD partitions it instead of replicating an opaque
+        # Pallas custom call (see ops.wkv7._spmd_axes)
+        return _wkv6_cv_chunked(chunk, r, w_raw, k, v, u, initial_state)
 
     from jax.sharding import PartitionSpec as P
 

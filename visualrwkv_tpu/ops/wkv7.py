@@ -321,8 +321,17 @@ def wkv_spmd(mesh, batch_axis: str = "data", head_axis: str = "model"):
         _WKV_SPMD = prev
 
 
+_SPMD_DECLINED = "declined"
+
+
 def _spmd_axes(B: int, H: int):
-    """Returns (batch_axis|None, head_axis|None) if SPMD wrapping applies."""
+    """Returns (mesh, batch_axis|None, head_axis|None) if SPMD wrapping
+    applies, None when no multi-device mesh is declared, or the sentinel
+    ``_SPMD_DECLINED`` when a mesh IS declared but the shapes don't divide
+    its axes (callers must then avoid opaque custom calls: an unwrapped
+    Pallas kernel under sharded operands forces GSPMD to gather/replicate
+    them — a silent perf cliff — whereas the chunked jnp path partitions
+    natively)."""
     if _WKV_SPMD is None:
         return None
     mesh, baxis, haxis = _WKV_SPMD
@@ -331,7 +340,7 @@ def _spmd_axes(B: int, H: int):
     if nb * nh == 1:
         return None
     if (nb > 1 and B % nb) or (nh > 1 and H % nh):
-        return None
+        return _SPMD_DECLINED
     return mesh, (baxis if nb > 1 else None), (haxis if nh > 1 else None)
 
 
@@ -420,6 +429,17 @@ def wkv7(
     spmd = _spmd_axes(r.shape[0], r.shape[2])
     if spmd is None:
         return fn_cv(eff_chunk, r, w_raw, k, v, a, b, initial_state)
+    if spmd is _SPMD_DECLINED:
+        import warnings
+
+        if fn_cv is _wkv7_cv_pallas:
+            warnings.warn(
+                "wkv7: declared mesh axes do not divide batch/heads "
+                f"(B={r.shape[0]}, H={r.shape[2]}); using the chunked jnp "
+                "impl so GSPMD can partition it (the fused Pallas kernel "
+                "would run replicated)."
+            )
+        return _wkv7_cv_chunked(chunk, r, w_raw, k, v, a, b, initial_state)
 
     from jax.sharding import PartitionSpec as P
 

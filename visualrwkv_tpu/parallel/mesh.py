@@ -40,13 +40,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch (pytree of arrays, leading dim = batch) on the mesh."""
+    """Place a host batch (pytree of arrays, leading dim = batch) on the mesh.
+
+    Single-process: a plain device_put with the batch sharding.  Multi-host
+    (``jax.process_count() > 1``): each process passes only its LOCAL shard
+    of the global batch and the shards are assembled into one global
+    jax.Array spanning all hosts' devices — the multi-controller analog of
+    the reference's per-rank DataLoader under DeepSpeed DP.
+    """
     sh = batch_sharding(mesh)
+    multiproc = jax.process_count() > 1
 
     def put(x):
-        if hasattr(x, "ndim") and x.ndim >= 1:
-            return jax.device_put(x, sh)
-        return x
+        if not (hasattr(x, "ndim") and x.ndim >= 1):
+            return x
+        if multiproc:
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
+        return jax.device_put(x, sh)
 
     return jax.tree_util.tree_map(put, batch)
 
@@ -97,8 +107,11 @@ def tensor_parallel_sharding(params: Params, mesh: Mesh):
     input dim. Everything else stays replicated — GSPMD inserts the
     all-reduces.
 
-    Note: the fused Pallas WKV kernel is not SPMD-partitioned; use
-    ``ops.wkv7.set_wkv_impl("chunked")`` when training with a model axis > 1.
+    The fused Pallas WKV kernels are SPMD-partitioned per (batch, head) via
+    shard_map (``ops.wkv7.wkv_spmd``, applied automatically by the trainer;
+    tests/test_spmd_wkv.py) and stay fused under a model axis > 1 as long as
+    the axis divides the head count; when it does not, fall back to
+    ``ops.wkv7.set_wkv_impl("chunked")``.
     """
     n_model = mesh.shape["model"]
 

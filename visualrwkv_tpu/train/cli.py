@@ -59,6 +59,15 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--freeze_proj", default=0, type=int)
     p.add_argument("--zero_stage", default=1, type=int)
     p.add_argument("--n_data", default=None, type=int, help="data-parallel mesh size")
+    # multi-host (reference train.py:75 --num_nodes under DeepSpeed DP):
+    # every host runs this same CLI; jax.distributed joins them and each
+    # host feeds its process-local slice of the global batch
+    p.add_argument("--num_nodes", default=1, type=int,
+                   help="number of host processes (multi-controller JAX)")
+    p.add_argument("--coordinator_address", default="", type=str,
+                   help="host:port of process 0 (or VRWKV_COORDINATOR_ADDRESS)")
+    p.add_argument("--node_rank", default=-1, type=int,
+                   help="this process's id (or VRWKV_PROCESS_ID)")
     p.add_argument("--dummy", action="store_true", help="dummy-data smoke run")
     p.add_argument("--dtype", default="bfloat16", type=str)
     p.add_argument(
@@ -157,6 +166,14 @@ def main(argv=None):
 
     import jax
 
+    from visualrwkv_tpu.parallel import distributed
+
+    distributed.initialize(  # no-op unless flags/env request multi-host
+        coordinator_address=args.coordinator_address or None,
+        num_processes=args.num_nodes if args.num_nodes > 1 else None,
+        process_id=args.node_rank if args.node_rank >= 0 else None,
+    )
+
     from visualrwkv_tpu.data.dataset import (
         DatasetConfig,
         VisualRWKVDataset,
@@ -207,19 +224,25 @@ def main(argv=None):
     # (at 1B5 a lingering caller reference holds ~6 GB of HBM for the run)
 
     # reference real_bsz = nodes * devices * micro_bsz (train.py:98); here the
-    # global per-step batch is micro_bsz per data-mesh slot, times grad accum
+    # global per-step batch is micro_bsz per data-mesh slot, times grad accum.
+    # Under multi-host each process materializes only its 1/process_count
+    # slice; shard_batch assembles the slices into one global array.
     global_bsz = args.micro_bsz * mesh.shape["data"] * args.accumulate_grad_batches
+    local_bsz = distributed.local_batch_size(global_bsz)
     ds_cfg = DatasetConfig(
         data_file=args.data_file, image_folder=args.image_folder,
         ctx_len=args.ctx_len, num_token_per_image=args.num_token_per_image,
-        epoch_steps=args.epoch_steps, micro_bsz=global_bsz,
+        epoch_steps=args.epoch_steps, micro_bsz=local_bsz,
         image_position=args.image_position,
         towers=tuple(vlm_cfg.vision.towers),
         tower_sizes={"dino": vlm_cfg.vision.image_size,
                      "siglip": vlm_cfg.vision.image_size,
                      "sam": vlm_cfg.vision.sam_image_size},
     )
-    dataset = VisualRWKVDataset(ds_cfg, tok)
+    dataset = VisualRWKVDataset(
+        ds_cfg, tok,
+        world_size=jax.process_count(), rank=jax.process_index(),
+    )
 
     for epoch in range(args.epoch_begin, args.epoch_begin + args.epoch_count):
         loss = trainer.run_epoch(batches_for_epoch(dataset, epoch), epoch)

@@ -309,14 +309,24 @@ class Trainer:
 
             save_params = dict(save_params)
             save_params["rwkv"] = unstack_blocks(save_params["rwkv"])
+        opt_state = self.state.opt_state if with_optimizer else None
+        if jax.process_count() > 1:
+            # multi-host: ZeRO-sharded leaves span hosts and are not fully
+            # addressable; collectively gather them to per-host numpy before
+            # the (host-local) payload is built
+            from jax.experimental import multihost_utils
+
+            save_params = multihost_utils.process_allgather(save_params, tiled=True)
+            if opt_state is not None:
+                opt_state = multihost_utils.process_allgather(opt_state, tiled=True)
         payload = {
             "params": jax.tree_util.tree_map(np.asarray, save_params),
             "step": int(self.state.step),
         }
-        if with_optimizer:
+        if opt_state is not None:
             payload["opt_state"] = jax.tree_util.tree_map(
                 lambda x: np.asarray(x) if hasattr(x, "shape") else x,
-                self.state.opt_state,
+                opt_state,
             )
         ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
