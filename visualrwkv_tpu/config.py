@@ -105,6 +105,12 @@ class VLMConfig:
     image_scanning: str = "unidirection"  # v5.1 patch scan order
     grid_size: int = -2  # v5/v6.0 grid pooling (-2 = adaptive pooling instead)
     uhd_fusion: bool = False  # UHD global+2x2-tile fusion (doubles proj in-dim)
+    # "scatter": image tokens pre-expanded to num_token_per_image slots and
+    # features scattered in place (v7.00). "leftpad": ONE un-expanded image
+    # token per sample; pre-image text is left-padded so image spans align
+    # batch-wide and features are inserted at embedding level with no fixed
+    # token count (v6.0/src/model.py:487-570).
+    insertion_mode: str = "scatter"
 
     @property
     def projector_in_dim(self) -> int:

@@ -218,8 +218,12 @@ def _token_shift(x: Array, shift_state: Optional[Array]) -> Array:
 def _l2norm_heads(x: Array, H: int) -> Array:
     B, T, C = x.shape
     xh = x.reshape(B, T, H, C // H).astype(jnp.float32)
-    n = jnp.sqrt(jnp.sum(xh * xh, axis=-1, keepdims=True))
-    xh = xh / jnp.maximum(n, 1e-12)
+    # clamp BEFORE the sqrt: sqrt'(0) is inf, so x/max(||x||, eps) has NaN
+    # gradient at exactly-zero rows (e.g. zero-vector pad embeddings in the
+    # v6.0 leftpad insertion); rsqrt(max(n2, eps^2)) is the same forward
+    # value with a finite gradient everywhere
+    n2 = jnp.sum(xh * xh, axis=-1, keepdims=True)
+    xh = xh * jax.lax.rsqrt(jnp.maximum(n2, 1e-24))
     return xh.reshape(B, T, C).astype(x.dtype)
 
 

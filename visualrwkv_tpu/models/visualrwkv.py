@@ -180,6 +180,56 @@ def bidirectional_forward(
     return linear(params["rwkv"]["head"], x, jnp.dtype(rcfg.compute_dtype))
 
 
+def vlm_forward_leftpad(
+    params: Params,
+    cfg: VLMConfig,
+    input_ids: Array,
+    labels: Array,
+    images: Optional[Dict[str, Array]] = None,
+    image_features: Optional[Array] = None,
+    plan=None,
+    grad_cp: bool = False,
+    return_hidden: bool = False,
+):
+    """v6.0 variable image-token-count forward (multimodal.insertion).
+
+    Each sample carries at most ONE un-expanded image token; spans are
+    aligned batch-wide via left padding and features inserted at embedding
+    level (v6.0/src/model.py:487-570). Returns (out, new_labels, plan) —
+    the sequence is rearranged, so labels are too.
+
+    ``plan`` (a LeftpadPlan) is batch-static geometry; pass it when calling
+    under jit (computed host-side via ``multimodal.insertion.leftpad_plan``),
+    otherwise it is derived from the concrete input_ids here.
+    """
+    from visualrwkv_tpu.multimodal.insertion import leftpad_insert, leftpad_plan
+
+    if image_features is None:
+        if images is None:
+            raise ValueError("leftpad insertion requires images or image_features")
+        image_features = encode_images(params, cfg, images)
+    if plan is None:
+        import numpy as np
+
+        plan = leftpad_plan(
+            np.asarray(input_ids), int(image_features.shape[1]), cfg.rwkv.ctx_len
+        )
+    emb, new_labels = leftpad_insert(
+        params["rwkv"]["emb"]["weight"], input_ids, labels, image_features, plan
+    )
+    if cfg.bidirectional_image:
+        if return_hidden:
+            raise ValueError("bidirectional path returns logits only")
+        out = bidirectional_forward(
+            params, cfg, emb, jnp.asarray(plan.max_idx), plan.flip_len, grad_cp
+        )
+    else:
+        out, _ = lm.lm_forward(
+            params["rwkv"], cfg.rwkv, emb, grad_cp=grad_cp, return_hidden=return_hidden
+        )
+    return out, new_labels, plan
+
+
 def vlm_forward(
     params: Params,
     cfg: VLMConfig,
@@ -333,6 +383,38 @@ def _chunked_ce_bwd(chunk_t, residuals, g):
 chunked_ce_l2wrap.defvjp(_chunked_ce_fwd, _chunked_ce_bwd)
 
 
+def _dense_ce_l2wrap(logits: Array, labels: Array) -> Array:
+    """Shifted CE (per-sample valid-length normalized, batch mean) + L2Wrap."""
+    shift_logits = logits[:, :-1].astype(jnp.float32)
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != IGNORE_INDEX
+    valid_lengths = jnp.maximum(valid.sum(axis=1), 1)
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    logz = jax.nn.logsumexp(shift_logits, axis=-1)
+    gold = jnp.take_along_axis(shift_logits, safe_labels[..., None], axis=-1)[..., 0]
+    ce = jnp.where(valid, logz - gold, 0.0)
+    loss = (ce.sum(axis=1) / valid_lengths).mean()
+    return l2wrap(loss, logits.astype(jnp.float32))
+
+
+def training_loss_leftpad(
+    params: Params,
+    cfg: VLMConfig,
+    input_ids: Array,
+    labels: Array,
+    images: Optional[Dict[str, Array]] = None,
+    plan=None,
+    grad_cp: bool = True,
+) -> Array:
+    """Training loss for the v6.0 leftpad insertion mode: the insertion
+    rearranges the sequence, so the loss runs on the realigned labels.
+    Under jit, pass the host-computed ``plan``."""
+    logits, new_labels, _ = vlm_forward_leftpad(
+        params, cfg, input_ids, labels, images, plan=plan, grad_cp=grad_cp
+    )
+    return _dense_ce_l2wrap(logits, new_labels)
+
+
 def training_loss(
     params: Params,
     cfg: VLMConfig,
@@ -366,13 +448,4 @@ def training_loss(
         )
 
     logits = vlm_forward(params, cfg, input_ids, images, grad_cp=grad_cp)
-    shift_logits = logits[:, :-1].astype(jnp.float32)
-    shift_labels = labels[:, 1:]
-    valid = shift_labels != IGNORE_INDEX
-    valid_lengths = jnp.maximum(valid.sum(axis=1), 1)
-    safe_labels = jnp.where(valid, shift_labels, 0)
-    logz = jax.nn.logsumexp(shift_logits, axis=-1)
-    gold = jnp.take_along_axis(shift_logits, safe_labels[..., None], axis=-1)[..., 0]
-    ce = jnp.where(valid, logz - gold, 0.0)
-    loss = (ce.sum(axis=1) / valid_lengths).mean()
-    return l2wrap(loss, logits.astype(jnp.float32))
+    return _dense_ce_l2wrap(logits, labels)
