@@ -29,8 +29,10 @@ def build_argparser():
     p.add_argument("--eval_batch", default=1, type=int,
                    help="questions decoded together (grouped by bucketed length; "
                    "batched decode ~25x single-stream throughput at 32)")
-    p.add_argument("--length_bucket", default=64, type=int,
-                   help="pad prompts (EOS-left) to length buckets; 16 = reference-exact padding")
+    p.add_argument("--length_bucket", default=16, type=int,
+                   help="pad prompts (EOS-left) to length buckets; 16 (default) is "
+                   "reference-exact padding, 64 is a faster documented deviation "
+                   "(fewer recompiles, slightly different EOS-prefix states)")
     p.add_argument("--n_layer", default=12, type=int)
     p.add_argument("--n_embd", default=768, type=int)
     p.add_argument("--ctx_len", default=2048, type=int)
@@ -41,16 +43,13 @@ def build_argparser():
     return p
 
 
-def main(argv=None):
-    logging.basicConfig(level=logging.INFO)
-    args = build_argparser().parse_args(argv)
-
+def build_engine(args):
+    """Build (engine, cfg) from CLI args: init params, load the checkpoint
+    (combined or bare-LM .pth), apply quantization. Shared by the eval,
+    ranking, and benchmark CLIs."""
     import jax
 
     from visualrwkv_tpu.config import RWKVConfig, VisionConfig, VLMConfig
-    from visualrwkv_tpu.data.tokenizer import get_tokenizer
-    from visualrwkv_tpu.evals.loaders import get_chunk, load_questions
-    from visualrwkv_tpu.evals.runner import run_eval
     from visualrwkv_tpu.infer.engine import InferenceEngine
     from visualrwkv_tpu.models.visualrwkv import init_visualrwkv_params
 
@@ -86,6 +85,11 @@ def main(argv=None):
                     )
         else:
             rwkv_keys = {k[5:] if k.startswith("rwkv.") else k: v for k, v in sd.items()}
+            known = ("emb.", "blocks.", "ln_out.", "head.")
+            stray = [k for k in rwkv_keys if not k.startswith(known)]
+            for k in stray:  # tolerate stray non-LM keys instead of KeyError-ing
+                logging.warning("ignoring unrecognized checkpoint key %r", k)
+                rwkv_keys.pop(k)
             params["rwkv"] = import_rwkv_state_dict(rwkv_keys)
             logging.info("loaded %d rwkv tensors from %s", len(rwkv_keys), args.model_path)
     if args.quant == "int8":
@@ -93,7 +97,18 @@ def main(argv=None):
 
         params["rwkv"] = quantize_lm_params(params["rwkv"])
 
-    engine = InferenceEngine(params, cfg, state_dtype=args.state_dtype)
+    return InferenceEngine(params, cfg, state_dtype=args.state_dtype), cfg
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    args = build_argparser().parse_args(argv)
+
+    from visualrwkv_tpu.data.tokenizer import get_tokenizer
+    from visualrwkv_tpu.evals.loaders import get_chunk, load_questions
+    from visualrwkv_tpu.evals.runner import run_eval
+
+    engine, _ = build_engine(args)
     tok = get_tokenizer()
     questions = get_chunk(load_questions(args.question_file), args.num_chunks, args.chunk_idx)
     run_eval(

@@ -17,8 +17,13 @@ from visualrwkv_tpu.evals.metrics.vqa import normalize_answer
 # -- POPE (yes/no hallucination probe): F1 / precision / recall / yes-ratio ---
 
 def _to_yes_no(text: str) -> str:
-    words = text.lower().replace(".", " ").replace(",", " ").split()
-    if "no" in words or "not" in words:
+    # reference eval_pope.py:10-20: keep only the first sentence, drop
+    # commas, split on single spaces, then token membership ('No'/'not'/'no')
+    if "." in text:
+        text = text.split(".")[0]
+    text = text.replace(",", "")
+    words = text.split(" ")
+    if "No" in words or "not" in words or "no" in words:
         return "no"
     return "yes"
 

@@ -94,3 +94,66 @@ def _stateful_logits(engine: InferenceEngine, x_emb, states):
         return jnp.moveaxis(logits, 0, 1)
 
     return run(engine.params, x_emb, states)
+
+
+# ---------------------------------------------------------------------------
+# CLI (reference v6.0/rank_answer.py __main__): candidates are a shared json
+# list; each question is prefilled once and the top-k candidates re-scored by
+# per-candidate CE from replicated states.
+# ---------------------------------------------------------------------------
+
+
+def main(argv=None):
+    import json
+    import logging
+    from pathlib import Path
+
+    from visualrwkv_tpu.data.tokenizer import get_tokenizer
+    from visualrwkv_tpu.evals.cli import build_argparser, build_engine
+    from visualrwkv_tpu.evals.loaders import get_chunk, get_question_id, load_questions
+    from visualrwkv_tpu.evals.runner import (
+        build_image_dict,
+        bucket_pad_ids,
+        prepare_question,
+    )
+
+    logging.basicConfig(level=logging.INFO)
+    p = build_argparser()
+    p.add_argument("--candidates_file", required=True,
+                   help="json list of candidate answers (shared across questions)")
+    p.add_argument("--topk", default=5, type=int)
+    args = p.parse_args(argv)
+
+    with open(args.candidates_file) as f:
+        candidates = json.load(f)
+    engine, cfg = build_engine(args)
+    tok = get_tokenizer()
+    questions = get_chunk(load_questions(args.question_file), args.num_chunks, args.chunk_idx)
+    sizes = {
+        t: (cfg.vision.sam_image_size if t == "sam" else cfg.vision.image_size)
+        for t in cfg.vision.towers
+    }
+    out_path = Path(args.output_file)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    with open(out_path, "w") as f:
+        for line in questions:
+            item = prepare_question(line, tok, cfg, 1, args.dataset_name)
+            ids = bucket_pad_ids(item["input_ids"], args.length_bucket)[None, :]
+            images = build_image_dict(line, Path(args.image_folder), sizes, args.image_strategy)
+            best, ranked = rank_candidates(
+                engine, tok, ids, images=images, candidates=candidates, k=args.topk
+            )
+            f.write(json.dumps({
+                "question_id": get_question_id(line),
+                "prompt": item["input_text"],
+                "text": best,
+                "candidates": [
+                    {"text": c, "first_prob": p_, "ce": ce} for c, p_, ce in ranked
+                ],
+                "model_id": "visualrwkv_tpu",
+            }, ensure_ascii=False) + "\n")
+            f.flush()
+
+
+if __name__ == "__main__":
+    main()

@@ -63,7 +63,7 @@ def build_image_dict(
 
     if strategy == "video":
         frames = load_video_frame_paths(Path(image_folder) / line["video"])
-        n = line["text"].count("<image>")
+        n = _video_frame_count(line, frames)
         paths = sample_video_frames(frames, n)
         images = [Image.open(p).convert("RGB") for p in paths]
     elif strategy == "uhd":
@@ -121,17 +121,27 @@ def bucket_pad_ids(input_ids: np.ndarray, bucket: int = 64) -> np.ndarray:
     )
 
 
+def _video_frame_count(line: Dict, frames) -> int:
+    """Frames to sample for a video question: min(prompt's <image> count,
+    available frames). Fails loudly at zero so the prompt and the pixel
+    batch can never disagree (they both derive from this function)."""
+    count = line["text"].count("<image>")
+    if count == 0 or not frames:
+        raise ValueError(
+            f"video question {line.get('question_id')!r}: "
+            f"{count} <image> tags, {len(frames)} frames on disk"
+        )
+    return min(count, len(frames))
+
+
 def n_images_for_strategy(line: Dict, image_folder: Optional[Path], strategy: str) -> int:
     """Images-per-sample for a question WITHOUT decoding pixels (PIL.open is
     header-lazy), so batching keys can be derived cheaply."""
     if strategy == "video":
         from visualrwkv_tpu.data.tiling import load_video_frame_paths
 
-        # a short video yields fewer frames than the prompt's <image> count;
-        # the prompt and the pixel batch must agree (build_image_dict samples
-        # min(count, available) frames)
-        n_frames = len(load_video_frame_paths(Path(image_folder) / line["video"]))
-        return max(1, min(line["text"].count("<image>"), n_frames))
+        frames = load_video_frame_paths(Path(image_folder) / line["video"])
+        return _video_frame_count(line, frames)
     if strategy == "uhd":
         return 5  # global + 2x2 tiles
     if strategy == "multi":
@@ -156,7 +166,7 @@ def run_eval(
     model_id: str = "visualrwkv_tpu",
     tower_sizes: Optional[Dict[str, int]] = None,
     progress: bool = True,
-    length_bucket: int = 64,
+    length_bucket: int = 16,
     batch_size: int = 1,
 ) -> List[Dict]:
     """Evaluate questions, write the jsonl, return the result records.
@@ -198,52 +208,54 @@ def run_eval(
     done = 0
     bs = max(1, batch_size)
     partial = open(out_path, "w")
-    for key in groups:
-        queue = groups[key]
-        for start in range(0, len(queue), bs):
-            chunk = queue[start : start + bs]
-            ids = np.stack([q["ids"] for q in chunk])
-            per_tower: Dict[str, List[np.ndarray]] = {}
-            for q in chunk:
-                imgs = build_image_dict(q["line"], Path(image_folder), sizes, image_strategy)
-                for t, v in imgs.items():
-                    per_tower.setdefault(t, []).append(v)
-            images = {t: np.concatenate(v, axis=0) for t, v in per_tower.items()}
-            res = engine.generate(
-                ids,
-                images=images,
-                max_new_tokens=max_new_tokens,
-                do_sample=False,
-                stop_tokens=(0, STOP_TOKEN_INDEX),
-            )
-            for row, q in enumerate(chunk):
-                n = int(res.lengths[row])
-                out_ids = [int(t) for t in res.tokens[row][:n]]
-                text = tokenizer.decode(out_ids).split(DEFAULT_STOP_TOKEN)[0].strip()
-                logits = res.logits[row][: max(n, 1)]
-                probs = res.probs[row][: max(n, 1)]
-                avg_logit = float(np.mean(logits))
-                avg_prob = float(np.prod(probs) ** (1.0 / len(probs)))
-                records[q["order"]] = {
-                    "question_id": get_question_id(q["line"]),
-                    "prompt": q["item"]["input_text"],
-                    "text": text,
-                    "avg_logit": str(round(avg_logit, 3)),
-                    "avg_prob": str(round(avg_prob, 3)),
-                    "model_id": model_id,
-                    "metadata": {
-                        **q["line"].get("metadata", {}),
-                        "image_file": q["line"].get("image"),
-                    },
-                }
-            for q in chunk:
-                partial.write(json.dumps(records[q["order"]], ensure_ascii=False) + "\n")
-            partial.flush()
-            done += len(chunk)
-            if progress:
-                log.info("eval %d/%d", done, len(prepared))
+    try:
+        for key in groups:
+            queue = groups[key]
+            for start in range(0, len(queue), bs):
+                chunk = queue[start : start + bs]
+                ids = np.stack([q["ids"] for q in chunk])
+                per_tower: Dict[str, List[np.ndarray]] = {}
+                for q in chunk:
+                    imgs = build_image_dict(q["line"], Path(image_folder), sizes, image_strategy)
+                    for t, v in imgs.items():
+                        per_tower.setdefault(t, []).append(v)
+                images = {t: np.concatenate(v, axis=0) for t, v in per_tower.items()}
+                res = engine.generate(
+                    ids,
+                    images=images,
+                    max_new_tokens=max_new_tokens,
+                    do_sample=False,
+                    stop_tokens=(0, STOP_TOKEN_INDEX),
+                )
+                for row, q in enumerate(chunk):
+                    n = int(res.lengths[row])
+                    out_ids = [int(t) for t in res.tokens[row][:n]]
+                    text = tokenizer.decode(out_ids).split(DEFAULT_STOP_TOKEN)[0].strip()
+                    logits = res.logits[row][: max(n, 1)]
+                    probs = res.probs[row][: max(n, 1)]
+                    avg_logit = float(np.mean(logits))
+                    avg_prob = float(np.prod(probs) ** (1.0 / len(probs)))
+                    records[q["order"]] = {
+                        "question_id": get_question_id(q["line"]),
+                        "prompt": q["item"]["input_text"],
+                        "text": text,
+                        "avg_logit": str(round(avg_logit, 3)),
+                        "avg_prob": str(round(avg_prob, 3)),
+                        "model_id": model_id,
+                        "metadata": {
+                            **q["line"].get("metadata", {}),
+                            "image_file": q["line"].get("image"),
+                        },
+                    }
+                for q in chunk:
+                    partial.write(json.dumps(records[q["order"]], ensure_ascii=False) + "\n")
+                partial.flush()
+                done += len(chunk)
+                if progress:
+                    log.info("eval %d/%d", done, len(prepared))
 
-    partial.close()
+    finally:
+        partial.close()
     results = [records[k] for k in sorted(records)]
     with open(out_path, "w") as f:
         for rec in results:
