@@ -23,7 +23,7 @@ class RWKVConfig:
     n_layer: int = 12
     n_embd: int = 768
     vocab_size: int = 65536
-    version: str = "x070"  # "x070" | "x060"
+    version: str = "x070"  # "x070" | "x060" | "x052" (legacy RWKV-5.2)
     head_size: int = 64  # RWKV_HEAD_SIZE_A
     head_size_divisor: int = 8
     ctx_len: int = 2048
@@ -42,7 +42,7 @@ class RWKVConfig:
                 # reference: 4x for v7 CMix (src/model.py:214)
                 object.__setattr__(self, "dim_ffn", self.n_embd * 4)
             else:
-                # reference: 3.5x rounded to 32 for v6 (train.py:104)
+                # reference: 3.5x rounded to 32 for v5/v6 (train.py:104)
                 object.__setattr__(self, "dim_ffn", _round_up(self.n_embd * 3.5, 32))
 
     @property

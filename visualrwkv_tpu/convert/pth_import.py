@@ -85,6 +85,64 @@ def import_rwkv_state_dict(state_dict: Mapping[str, Any]) -> Params:
     return out
 
 
+def detect_rwkv_version(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """Autodetect the RWKV generation + geometry from state-dict keys.
+
+    Reimplements the reference engine's detector (app/modeling_rwkv.py:
+    227-244: ln_x => v5, gate.weight => v5.1, 2-D time_decay => v5.2,
+    time_maa => v6) extended with the v7 signature (att.r_k / att.w0).
+    Returns {"version": "x052"|"x060"|"x070", "n_layer", "n_embd",
+    "vocab_size", "head_size", "n_head"}; raises on pre-5.2 generations
+    (VisualRWKV's v5 releases are all RWKV-5.2 World models).
+    """
+    keys = {k[len("rwkv."):] if k.startswith("rwkv.") else k: v
+            for k, v in state_dict.items()}
+    version = 4.0
+    n_layer = 0
+    n_head = None
+    head_size = None
+    for k, t in keys.items():
+        if "blocks." in k:
+            n_layer = max(n_layer, int(k.split(".")[1]) + 1)
+        if "ln_x" in k:
+            version = max(5.0, version)
+        if "gate.weight" in k:
+            version = max(5.1, version)
+        if int(version) == 5 and k.endswith("att.time_decay"):
+            shape = tuple(getattr(t, "shape", np.asarray(t).shape))
+            n_head = shape[0]
+            if len(shape) > 1 and shape[1] > 1:
+                version = max(5.2, version)
+                head_size = shape[1]
+        if "time_maa" in k:
+            version = max(6.0, version)
+        if k.endswith("att.r_k") or k.endswith("att.w0"):
+            version = max(7.0, version)
+        if version >= 6.0 and k.endswith("att.time_faaaa"):
+            shape = tuple(getattr(t, "shape", np.asarray(t).shape))
+            n_head, head_size = shape[0], shape[1]
+        if version >= 7.0 and k.endswith("att.r_k"):
+            shape = tuple(getattr(t, "shape", np.asarray(t).shape))
+            n_head, head_size = shape[0], shape[1]
+    emb = keys.get("emb.weight")
+    vocab_size, n_embd = (
+        tuple(getattr(emb, "shape", np.asarray(emb).shape)) if emb is not None
+        else (None, None)
+    )
+    name = {5.2: "x052", 6.0: "x060", 7.0: "x070"}.get(version)
+    if name is None:
+        raise NotImplementedError(
+            f"detected legacy RWKV v{version:.1f} checkpoint; supported "
+            "generations are 5.2 (x052), 6 (x060) and 7 (x070)"
+        )
+    if head_size is None and n_embd is not None and n_head:
+        head_size = n_embd // n_head
+    return {
+        "version": name, "n_layer": n_layer, "n_embd": n_embd,
+        "vocab_size": vocab_size, "head_size": head_size, "n_head": n_head,
+    }
+
+
 def export_rwkv_state_dict(params: Params, prefix: str = "") -> Dict[str, np.ndarray]:
     """Inverse of :func:`import_rwkv_state_dict` (numpy state dict, fp32)."""
     sd: Dict[str, np.ndarray] = {}
@@ -106,6 +164,7 @@ def export_rwkv_state_dict(params: Params, prefix: str = "") -> Dict[str, np.nda
                 "w0", "a0", "v0", "k_k", "k_a",
                 "time_maa_x", "time_maa_w", "time_maa_k", "time_maa_v",
                 "time_maa_r", "time_maa_g", "time_decay",
+                "time_mix_k", "time_mix_v", "time_mix_r", "time_mix_g",
             ) and arr.ndim == 1:
                 arr = arr.reshape(1, 1, -1)
             sd[prefix + key] = arr

@@ -23,7 +23,10 @@ def build_argparser():
     p.add_argument("--max_new_tokens", default=128, type=int)
     p.add_argument("--temperature", default=0.0, type=float, help="0 = greedy (reference eval default)")
     p.add_argument("--top_p", default=1.0, type=float)
-    p.add_argument("--rwkv_version", default="x070", choices=["x070", "x060"])
+    p.add_argument("--rwkv_version", default="auto",
+                   choices=["auto", "x070", "x060", "x052"],
+                   help="auto = detect generation + geometry from checkpoint "
+                   "keys (reference app/modeling_rwkv.py:227-244)")
     p.add_argument("--quant", default="none", choices=["none", "int8"])
     p.add_argument("--state_dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--eval_batch", default=1, type=int,
@@ -53,24 +56,46 @@ def build_engine(args):
     from visualrwkv_tpu.infer.engine import InferenceEngine
     from visualrwkv_tpu.models.visualrwkv import init_visualrwkv_params
 
+    sd = None
+    if args.model_path.endswith(".pth"):
+        from visualrwkv_tpu.convert.pth_import import load_pth
+
+        sd = load_pth(args.model_path)
+    version = args.rwkv_version
+    geometry = {}
+    if version == "auto":
+        version = "x070"
+        if sd is not None:
+            from visualrwkv_tpu.convert.pth_import import detect_rwkv_version
+
+            info = detect_rwkv_version(sd)
+            version = info["version"]
+            geometry = {
+                k: info[k]
+                for k in ("n_layer", "n_embd", "vocab_size", "head_size")
+                if info.get(k)
+            }
+            logging.info("checkpoint autodetect: %s %s", version, geometry)
+
     cfg = VLMConfig(
         rwkv=RWKVConfig(
-            n_layer=args.n_layer, n_embd=args.n_embd, vocab_size=args.vocab_size,
-            ctx_len=args.ctx_len, version=args.rwkv_version,
+            n_layer=geometry.get("n_layer", args.n_layer),
+            n_embd=geometry.get("n_embd", args.n_embd),
+            vocab_size=geometry.get("vocab_size", args.vocab_size),
+            head_size=geometry.get("head_size", 64),
+            ctx_len=args.ctx_len, version=version,
         ),
         vision=VisionConfig(towers=tuple(args.vision_towers.split(","))),
         proj_type=args.proj_type,
         num_token_per_image=args.num_token_per_image,
     )
     params = init_visualrwkv_params(jax.random.PRNGKey(0), cfg)
-    if args.model_path.endswith(".pth"):
+    if sd is not None:
         from visualrwkv_tpu.convert.pth_import import (
             import_rwkv_state_dict,
             import_visualrwkv_checkpoint,
-            load_pth,
         )
 
-        sd = load_pth(args.model_path)
         if any(k.startswith(("vit.", "proj.")) for k in sd):
             # combined released checkpoint: LM + projector + towers
             loaded = import_visualrwkv_checkpoint(sd, dst_grid=cfg.vision.image_size // 14)

@@ -2,8 +2,10 @@
 
 The reference is a version-snapshot monorepo (one codebase per model
 generation); here every generation is a config (``RWKVConfig.version``):
-"x070" (RWKV-7, flagship) and "x060" (RWKV-6, the published-paper backbone;
-also serves v5-style checkpoints through the same diagonal-decay kernel).
+"x070" (RWKV-7, flagship), "x060" (RWKV-6, the published-paper backbone),
+and "x052" (legacy RWKV-5.2; static decay through the same diagonal-decay
+WKV6 kernel). Checkpoint families are auto-detected from state-dict keys by
+convert.pth_import.detect_rwkv_version (reference app/modeling_rwkv.py:227-244).
 """
 
 from __future__ import annotations
@@ -13,7 +15,7 @@ from typing import Any, Dict, List, Optional, Tuple
 import jax
 
 from visualrwkv_tpu.config import RWKVConfig
-from visualrwkv_tpu.models import rwkv6, rwkv7
+from visualrwkv_tpu.models import rwkv5, rwkv6, rwkv7
 from visualrwkv_tpu.models.rwkv7 import LayerState, embed, init_state  # noqa: F401
 
 Array = jax.Array
@@ -25,6 +27,8 @@ def init_lm_params(key: Array, cfg: RWKVConfig) -> Params:
         return rwkv7.init_rwkv7_params(key, cfg)
     if cfg.version == "x060":
         return rwkv6.init_rwkv6_params(key, cfg)
+    if cfg.version == "x052":
+        return rwkv5.init_rwkv5_params(key, cfg)
     raise ValueError(f"unknown RWKV version {cfg.version}")
 
 
@@ -51,6 +55,8 @@ def lm_forward(
         return rwkv7.rwkv7_forward(params, cfg, x, states, grad_cp, return_hidden)
     if cfg.version == "x060":
         return rwkv6.rwkv6_forward(params, cfg, x, states, grad_cp, return_hidden)
+    if cfg.version == "x052":
+        return rwkv5.rwkv5_forward(params, cfg, x, states, grad_cp, return_hidden)
     raise ValueError(f"unknown RWKV version {cfg.version}")
 
 
@@ -63,6 +69,8 @@ def lm_decode_step(params, cfg, token, states):
         return rwkv7.rwkv7_decode_step(params, cfg, token, states)
     if cfg.version == "x060":
         return rwkv6.rwkv6_decode_step(params, cfg, token, states)
+    if cfg.version == "x052":
+        return rwkv5.rwkv5_decode_step(params, cfg, token, states)
     raise ValueError(f"unknown RWKV version {cfg.version}")
 
 
@@ -71,6 +79,8 @@ def lm_decode_step_embed(params, cfg, x_emb, states):
         return rwkv7.rwkv7_decode_step_embed(params, cfg, x_emb, states)
     if cfg.version == "x060":
         return rwkv6.rwkv6_decode_step_embed(params, cfg, x_emb, states)
+    if cfg.version == "x052":
+        return rwkv5.rwkv5_decode_step_embed(params, cfg, x_emb, states)
     raise ValueError(f"unknown RWKV version {cfg.version}")
 
 
@@ -89,5 +99,8 @@ def lm_block_forward(
         return rwkv7.block_x070(params, cfg, layer_id, x, v_first, state)
     if cfg.version == "x060":
         x, st = rwkv6.block_x060(params, cfg, layer_id, x, state)
+        return x, v_first, st
+    if cfg.version == "x052":
+        x, st = rwkv5.block_x052(params, cfg, layer_id, x, state)
         return x, v_first, st
     raise ValueError(f"unknown RWKV version {cfg.version}")
