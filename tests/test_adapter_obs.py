@@ -21,6 +21,7 @@ from visualrwkv_tpu.multimodal.adapter_v4 import (
 )
 
 
+@pytest.mark.slow
 def test_adapter_losses():
     cfg = RWKVConfig(n_layer=2, n_embd=64, vocab_size=512, head_size=32,
                      compute_dtype="float32")

@@ -48,6 +48,7 @@ def naive_greedy(params, cfg, ids, n_new):
     return out
 
 
+@pytest.mark.slow
 def test_engine_matches_naive_greedy(setup):
     cfg, params, engine = setup
     prompt = np.array([[11, 22, 33, 44, 55, 66, 77]])
@@ -95,6 +96,7 @@ def test_image_state_cache(setup):
     assert res.tokens.shape == (1, 3)
 
 
+@pytest.mark.slow
 def test_engine_x060_and_quant():
     """The engine serves x060 models and int8-quantized params."""
     from visualrwkv_tpu.infer.quant import quantize_lm_params
@@ -117,6 +119,7 @@ def test_engine_x060_and_quant():
     assert res_q.tokens.shape == (1, 4)
 
 
+@pytest.mark.slow
 def test_bf16_state_decode_matches_fp32(setup):
     """Serving with state_dtype=bfloat16 (halved decode state traffic): short
     greedy generations must match the fp32-state engine on a tiny model, and
@@ -140,6 +143,7 @@ def test_bf16_state_decode_matches_fp32(setup):
     assert all(s.wkv.dtype == jnp.bfloat16 for s in new_states)
 
 
+@pytest.mark.slow
 def test_batch_sharded_decode_on_mesh(setup):
     """Data-parallel serving: a batch sharded over the 8-device mesh decodes
     to the same tokens as the unsharded engine (GSPMD partitions the whole

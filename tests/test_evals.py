@@ -194,6 +194,7 @@ def test_bucket_pad_ids():
     assert same.shape == (64,)
 
 
+@pytest.mark.slow
 def test_batched_eval_matches_single(tmp_path):
     """batch_size=3 (grouped by bucketed length) must produce the same jsonl
     records as batch_size=1, in the original question order."""
@@ -240,6 +241,7 @@ def test_batched_eval_matches_single(tmp_path):
     assert outs[1] == outs[3]
 
 
+@pytest.mark.slow
 def test_hfds_eval(tmp_path):
     """evaluate_hfds.py equivalent over a datasets.Dataset with in-line PIL
     images (reference evaluate_hfds.py:64-186)."""

@@ -122,6 +122,7 @@ def test_two_images_rejected():
         leftpad_plan(ids, feats.shape[1], 64)
 
 
+@pytest.mark.slow
 def test_vlm_forward_leftpad_end_to_end():
     """Leftpad loss path: finite loss + grads through a tiny text-only LM
     with directly-provided image features, under jit with a static plan."""
@@ -163,6 +164,7 @@ def test_vlm_forward_leftpad_end_to_end():
         jax.jit(loss_fn)(params)
 
 
+@pytest.mark.slow
 def test_training_loss_leftpad_with_features():
     import jax
     import jax.numpy as jnp

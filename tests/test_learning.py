@@ -20,6 +20,8 @@ from visualrwkv_tpu.train.trainer import Trainer
 from visualrwkv_tpu.vision.vit import ViTConfig
 
 
+pytestmark = pytest.mark.slow  # minutes-long optimization runs
+
 def test_delayed_recall_is_learned():
     """labels[t] = ids[t-2]: the prediction at position p must emit ids[p-1],
     one step of memory that must flow through the learned token-shift/state

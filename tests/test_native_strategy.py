@@ -53,6 +53,7 @@ def test_strategy_state_dtype_token():
     assert parse_strategy("cpu fp32 s32").state_dtype == "float32"
 
 
+@pytest.mark.slow
 def test_make_engine_from_strategy_string():
     """make_engine: one-call serving setup (quant + dtypes + state carry)."""
     import jax

@@ -68,6 +68,7 @@ def test_prefill_state_then_continue(setup):
     assert rel_err(logits2, logits_full[:, 16:]) < 1e-4
 
 
+@pytest.mark.slow
 def test_grad_cp_matches(setup):
     cfg, params = setup
     tokens = jax.random.randint(jax.random.PRNGKey(4), (1, 16), 0, 512)

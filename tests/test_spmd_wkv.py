@@ -33,6 +33,7 @@ def test_wkv7_spmd_matches_reference(mesh_shape):
     assert rel_err(s, s_ref) < 1e-5
 
 
+@pytest.mark.slow
 def test_wkv7_spmd_gradients_match_unwrapped():
     mesh = make_mesh(n_data=4, n_model=2)
     inputs = make_inputs(jax.random.PRNGKey(1), B=4, T=64, H=4, N=16)
@@ -48,6 +49,7 @@ def test_wkv7_spmd_gradients_match_unwrapped():
         assert rel_err(gs, gp) < 1e-5
 
 
+@pytest.mark.slow
 def test_wkv7_spmd_initial_state_grad():
     mesh = make_mesh(n_data=2, n_model=2)
     B, H, N = 2, 4, 16
@@ -64,6 +66,7 @@ def test_wkv7_spmd_initial_state_grad():
     assert rel_err(g_spmd, g_plain) < 1e-5
 
 
+@pytest.mark.slow
 def test_wkv6_spmd_matches_reference():
     mesh = make_mesh(n_data=4, n_model=2)
     r, w, k, v, _, _ = make_inputs(jax.random.PRNGKey(4), B=4, T=64, H=4, N=16)

@@ -49,6 +49,7 @@ def make_batch(key, bsz=8, T=32):
     return {"input_ids": ids, "labels": labels, "images": images}
 
 
+@pytest.mark.slow
 def test_loss_decreases_on_mesh():
     cfg = tiny_vlm_cfg()
     tcfg = TrainConfig(
@@ -71,6 +72,7 @@ def test_loss_decreases_on_mesh():
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_grad_accum_equivalence():
     """accum=2 over 8 samples ~= accum=1 over the same 8 samples."""
     cfg = tiny_vlm_cfg()
@@ -147,6 +149,7 @@ def test_fp32_master_accumulates_tiny_updates():
     np.testing.assert_array_equal(np.asarray(cast), np.asarray(p["w"]))
 
 
+@pytest.mark.slow
 def test_bf16_param_training_matches_fp32():
     """Full trainer with param_dtype=bfloat16: loss decreases and tracks the
     fp32 run; optimizer state carries fp32 masters; checkpoint round-trips."""
@@ -193,6 +196,7 @@ def test_bf16_param_training_matches_fp32():
         np.testing.assert_array_equal(before, after)
 
 
+@pytest.mark.slow
 def test_stacked_layers_training_matches_list_layout():
     """stacked_layers=True (blocks 1..L-1 in one lax.scan body) must produce
     the same losses and — after unstacking — the same parameters as the
@@ -271,6 +275,7 @@ def test_stacked_layers_ineligible_configs_fall_back():
     assert "blocks" in tr.state.params["rwkv"]
 
 
+@pytest.mark.slow
 def test_streamed_offload_matches_regular():
     """offload_optimizer (streamed per-block host-resident optimizer,
     train/offload.py) must track the regular in-jit optimizer: same losses

@@ -70,6 +70,7 @@ def randomize(params, key):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+@pytest.mark.slow
 def test_bidirectional_changes_only_with_flip():
     cfg = make_cfg(bidirectional=True)
     params = randomize(
@@ -106,6 +107,7 @@ def test_grid_pooling_modes():
 
 
 @pytest.mark.parametrize("version", ["x070", "x060"])
+@pytest.mark.slow
 def test_image_as_state(version):
     cfg = make_cfg(version)
     params = randomize(
@@ -125,6 +127,7 @@ def test_image_as_state(version):
     assert rel_err(logits2, logits) > 3e-7
 
 
+@pytest.mark.slow
 def test_state_tuning_gradient():
     cfg = make_cfg()
     params = randomize(
@@ -142,6 +145,7 @@ def test_state_tuning_gradient():
     assert float(jnp.abs(g).sum()) > 0  # trainable initial state gets gradient
 
 
+@pytest.mark.slow
 def test_mean_multi_image_state():
     cfg = make_cfg()
     params = init_visualrwkv_params(jax.random.PRNGKey(0), cfg)
@@ -151,6 +155,7 @@ def test_mean_multi_image_state():
     assert logits.shape == (1, 16, 66000)
 
 
+@pytest.mark.slow
 def test_vtc():
     cfg = make_cfg().rwkv
     lm_params = lm.init_lm_params(jax.random.PRNGKey(0), cfg)
@@ -174,6 +179,7 @@ def test_vtc():
     )
 
 
+@pytest.mark.slow
 def test_contrastive_loss():
     key = jax.random.PRNGKey(0)
     t = jax.random.normal(key, (4, 8))

@@ -20,6 +20,7 @@ def rel_err(x, y):
     return np.sqrt(((x - y) ** 2).sum() / max(1e-30, (y**2).sum()))
 
 
+@pytest.mark.slow
 def test_siglip_parity():
     from transformers import SiglipVisionConfig, SiglipVisionModel
 
@@ -45,6 +46,7 @@ def test_siglip_parity():
     assert rel_err(feats, ref) < 2e-5
 
 
+@pytest.mark.slow
 def test_dinov2_reg_parity():
     from transformers import Dinov2WithRegistersConfig, Dinov2WithRegistersModel
 
@@ -99,6 +101,7 @@ def test_clip_parity():
     assert rel_err(feats, ref) < 2e-5
 
 
+@pytest.mark.slow
 def test_sam_parity():
     from transformers import SamConfig, SamModel, SamVisionConfig
 

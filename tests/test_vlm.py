@@ -59,6 +59,7 @@ def test_scatter_orders_features():
     np.testing.assert_allclose(np.asarray(out[0, 0]), [0, 0])  # text untouched
 
 
+@pytest.mark.slow
 def test_vlm_forward_and_loss(tiny_cfg):
     cfg = tiny_cfg
     params = vlm.init_visualrwkv_params(jax.random.PRNGKey(0), cfg)
@@ -78,6 +79,7 @@ def test_vlm_forward_and_loss(tiny_cfg):
     assert float(loss) > 0
 
 
+@pytest.mark.slow
 def test_vision_tower_frozen(tiny_cfg):
     cfg = tiny_cfg
     params = vlm.init_visualrwkv_params(jax.random.PRNGKey(0), cfg)
@@ -107,6 +109,7 @@ def test_l2wrap_gradient():
     np.testing.assert_allclose(np.asarray(g), expect, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_chunked_ce_matches_dense(tiny_cfg):
     """chunked_ce_l2wrap (never materializes full logits) must match the
     dense loss AND its gradients (incl. the L2Wrap injection) exactly."""
@@ -139,6 +142,7 @@ def test_chunked_ce_matches_dense(tiny_cfg):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_chunked_ce_falls_back_when_indivisible(tiny_cfg):
     import jax
 

@@ -25,6 +25,7 @@ def tiny_cfg(**kw):
     )
 
 
+@pytest.mark.slow
 def test_vtc_in_encode_images():
     from visualrwkv_tpu.multimodal.vtc import init_vtc_params
 
@@ -71,6 +72,7 @@ def test_gpt4v_crop():
     assert len(gpt4v_crop(tall, "high")) == 7
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_with_optimizer(tmp_path):
     from visualrwkv_tpu.data.conversation import IGNORE_INDEX, IMAGE_TOKEN_INDEX
     from visualrwkv_tpu.parallel.mesh import make_mesh
@@ -111,6 +113,7 @@ def test_checkpoint_resume_with_optimizer(tmp_path):
     assert restored_any
 
 
+@pytest.mark.slow
 def test_uhd_fusion_in_encode_images():
     cfg = tiny_cfg(uhd_fusion=True)
     params = init_visualrwkv_params(jax.random.PRNGKey(0), cfg)
@@ -124,6 +127,7 @@ def test_uhd_fusion_in_encode_images():
     assert feats.shape == (2, 4, 64)  # N_img=2, pooled to 4 tokens, n_embd
 
 
+@pytest.mark.slow
 def test_grid_pooling_in_encode_images():
     tiny_clip = ViTConfig(img_size=16, patch_size=8, width=32, depth=1, heads=2,
                           mlp_dim=64, use_cls=True, num_reg=0, layerscale=False,

@@ -56,6 +56,7 @@ def test_step_matches_reference():
     assert rel_err(state, s_ref) < 1e-6
 
 
+@pytest.mark.slow
 def test_gradients_match_reference():
     inputs = make_inputs(jax.random.PRNGKey(3), B=1, T=32, H=2, N=8)
     s0 = jax.random.normal(jax.random.PRNGKey(9), (1, 2, 8, 8), jnp.float32)
@@ -87,6 +88,7 @@ def test_pallas_matches_reference():
     assert rel_err(s_pal, s_ref) < 1e-5
 
 
+@pytest.mark.slow
 def test_pallas_backward_matches_autodiff():
     from visualrwkv_tpu.ops.wkv6_pallas import wkv6_pallas_bwd, wkv6_pallas_fwd_res
 

@@ -29,6 +29,7 @@ def test_pallas_with_initial_state():
     assert rel_err(s_pal, s_ref) < 1e-5
 
 
+@pytest.mark.slow
 def test_pallas_backward_matches_autodiff():
     """Hand-derived fused VJP vs jax.grad of the chunked formulation."""
     from visualrwkv_tpu.ops.wkv7 import wkv7_chunked
@@ -50,6 +51,7 @@ def test_pallas_backward_matches_autodiff():
         assert rel_err(gp, gr) < 1e-5, f"d{name}"
 
 
+@pytest.mark.slow
 def test_bf16_stability_adversarial():
     """Regression for the chunk-length stability limit: with bf16 inputs whose
     in-context-lr a ~ 0.5 and mixed decay rates (the post-init regime that
@@ -119,6 +121,7 @@ def test_wkv6_step_kernel_matches_jnp_step():
 
 
 @pytest.mark.parametrize("t_block,g_heads", [(64, 2), (128, 4)])
+@pytest.mark.slow
 def test_pallas_v2_matches_reference(t_block, g_heads):
     """Chunk-batched v2 forward (interpret mode on CPU) vs the golden scan."""
     from visualrwkv_tpu.ops.wkv7_pallas import wkv7_pallas_v2
