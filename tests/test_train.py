@@ -326,3 +326,66 @@ def test_streamed_offload_matches_regular():
         after = [np.asarray(x) for x in jax.tree_util.tree_leaves(tr_off._streamed.opt_state)]
         for a, b in zip(before, after):
             np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
+def test_stacked_partial_freeze_matches_list():
+    """Partial first-N-layer freezing must work under the stacked layout
+    (optim.stacked_layer_freeze zeroes frozen rows of the stacked axis):
+    same losses/params as the list layout, frozen layers bit-identical to
+    their initial values, unfrozen layers actually trained."""
+    import dataclasses
+
+    from visualrwkv_tpu.models.rwkv7 import unstack_blocks
+
+    cfg = tiny_vlm_cfg()
+    cfg = cfg.replace(rwkv=dataclasses.replace(cfg.rwkv, n_layer=4))
+    params = init_visualrwkv_params(jax.random.PRNGKey(0), cfg)
+    init_blocks = jax.tree_util.tree_map(np.asarray, params["rwkv"]["blocks"])
+    fixed = make_batch(jax.random.PRNGKey(1))
+    mesh = make_mesh(n_data=1)
+
+    out = {}
+    for stacked in (False, True):
+        tcfg = TrainConfig(
+            lr_init=1e-2, lr_final=1e-2, epoch_steps=3, epoch_count=1,
+            micro_bsz=8, grad_cp=True, zero_stage=0, grad_clip=1.0,
+            weight_decay=0.01, stacked_layers=stacked, freeze_rwkv_layers=2,
+        )
+        tr = Trainer(cfg, tcfg, jax.tree_util.tree_map(jnp.copy, params), mesh=mesh)
+        assert tr.stacked == stacked
+        tr.run_epoch(lambda s: fixed, epoch=0)
+        p = tr.state.params
+        if stacked:
+            p = dict(p)
+            p["rwkv"] = unstack_blocks(p["rwkv"])
+        out[stacked] = (
+            [h["loss"] for h in tr.history],
+            jax.tree_util.tree_map(np.asarray, p),
+        )
+
+    losses_list, params_list = out[False]
+    losses_stk, params_stk = out[True]
+    np.testing.assert_allclose(losses_stk, losses_list, rtol=1e-4, atol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params_list), jax.tree_util.tree_leaves(params_stk)
+    ):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+    for layout in (params_list, params_stk):
+        blocks = layout["rwkv"]["blocks"]
+        for i in (0, 1):  # frozen: unchanged
+            for a, b in zip(
+                jax.tree_util.tree_leaves(init_blocks[i]),
+                jax.tree_util.tree_leaves(blocks[i]),
+            ):
+                np.testing.assert_array_equal(a, b)
+        moved = sum(
+            float(np.abs(np.asarray(a) - np.asarray(b)).sum())
+            for i in (2, 3)
+            for a, b in zip(
+                jax.tree_util.tree_leaves(init_blocks[i]),
+                jax.tree_util.tree_leaves(blocks[i]),
+            )
+        )
+        assert moved > 0  # unfrozen layers trained

@@ -199,11 +199,49 @@ def trainable_mask(params: Params, cfg: TrainConfig, n_layer: int) -> Params:
             layer = keys[i + 1]
             if isinstance(layer, int) and layer < cfg.freeze_rwkv_layers:
                 return False
+        # stacked layout: layer 0 lives under "block0"; layers 1..L-1 share
+        # leaves under "blocks_stacked" and are frozen per-row by
+        # stacked_layer_freeze instead of per-leaf here
+        if keys and keys[0] == "rwkv" and "block0" in keys and cfg.freeze_rwkv_layers >= 1:
+            return False
         if cfg.freeze_rwkv_layers >= n_layer and keys and keys[0] == "rwkv":
             return False
         return True
 
     return jax.tree_util.tree_map_with_path(decide, params)
+
+
+def stacked_layer_freeze(freeze_first: int) -> "optax.GradientTransformation":
+    """Zero the update rows of frozen layers inside the STACKED blocks tree.
+
+    Per-leaf boolean freezing (multi_transform) cannot express "first N
+    layers" once layers 1..L-1 share each leaf's leading axis; this
+    transformation multiplies ``blocks_stacked`` updates by a per-layer 0/1
+    vector instead (stacked row j holds layer j+1). Apply it at BOTH ends of
+    the optimizer chain: before, so frozen rows contribute nothing to the
+    global-norm clip or the Adam moments; after, so weight decay cannot
+    reintroduce an update on frozen rows.
+    """
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+
+        def f(path, u):
+            keys = [str(getattr(p, "key", getattr(p, "idx", ""))) for p in path]
+            if "blocks_stacked" in keys and hasattr(u, "ndim") and u.ndim >= 1:
+                L1 = u.shape[0]
+                layer_ids = jnp.arange(1, L1 + 1)
+                m = (layer_ids >= freeze_first).astype(u.dtype)
+                return u * m.reshape((L1,) + (1,) * (u.ndim - 1))
+            return u
+
+        return jax.tree_util.tree_map_with_path(f, updates), state
+
+    return optax.GradientTransformation(init, update)
 
 
 def make_optimizer(
@@ -221,13 +259,24 @@ def make_optimizer(
     )
     wd_mask = weight_decay_mask(params)
 
+    is_stacked_tree = (
+        isinstance(params.get("rwkv"), dict) and "blocks_stacked" in params["rwkv"]
+    )
+    stacked_guard = (
+        stacked_layer_freeze(cfg.freeze_rwkv_layers)
+        if is_stacked_tree and 0 < cfg.freeze_rwkv_layers < n_layer
+        else optax.identity()
+    )
+
     @optax.inject_hyperparams
     def base(learning_rate, weight_decay):
         return optax.chain(
+            stacked_guard,
             clip_by_global_norm_f32(cfg.grad_clip) if cfg.grad_clip > 0 else optax.identity(),
             optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2, eps=cfg.adam_eps),
             optax.add_decayed_weights(weight_decay, mask=wd_mask),
             optax.scale_by_learning_rate(learning_rate),
+            stacked_guard,
         )
 
     opt = base(learning_rate=lr_fn, weight_decay=wd_fn)

@@ -140,13 +140,19 @@ class Trainer:
                 params,
             )
 
-        # stacked-layer layout (lax.scan over depth): opt-in, x070-only, and
-        # only when no option needs per-layer addressing of the block list
+        # stacked-layer layout (lax.scan over depth): opt-in, x070-only.
+        # Partial freezing works stacked (optim.stacked_layer_freeze zeroes
+        # frozen rows on the stacked axis); state tuning and the
+        # bidirectional image forward still address blocks as a list.
+        # Memory note: stacked OOMs ~27 MB EARLIER than the list layout at
+        # the 0B4/B8 HBM edge (the stacked tree's one-big-leaf gradients
+        # allocate whole [L-1, ...] buffers where the list layout frees
+        # per-layer) — at that edge prefer stacked_layers=0 (PROGRESS.md
+        # round-1 measurement).
         self.stacked = bool(
             train_cfg.stacked_layers
             and vlm_cfg.rwkv.version == "x070"
             and self.mesh.shape.get("model", 1) == 1
-            and not (0 < train_cfg.freeze_rwkv_layers < vlm_cfg.rwkv.n_layer)
             and not train_cfg.enable_state_tuning
             and not getattr(vlm_cfg, "bidirectional_image", False)
             and vlm_cfg.rwkv.n_layer >= 2
