@@ -192,3 +192,44 @@ def test_contrastive_loss():
     pos_v = jnp.array([5, 6, 7, 8])
     loss = contrastive_alignment_loss(hidden, pos_t, pos_v)
     assert jnp.isfinite(loss)
+
+
+@pytest.mark.slow
+def test_image_as_state_stacked_matches_list():
+    """The stacked (lax.scan over depth) image-as-state forward must match
+    the list-of-blocks path, with and without trainable time_states, and
+    gradients must flow to time_states of every layer."""
+    import dataclasses
+
+    from visualrwkv_tpu.models.rwkv7 import stack_blocks
+
+    cfg = make_cfg("x070")
+    cfg = cfg.replace(rwkv=dataclasses.replace(cfg.rwkv, n_layer=3))
+    params = randomize(
+        init_visualrwkv_params(jax.random.PRNGKey(0), cfg), jax.random.PRNGKey(9)
+    )
+    C = cfg.rwkv.n_embd
+    key = jax.random.PRNGKey(5)
+    text = jax.random.normal(key, (2, 16, C), jnp.float32) * 0.1
+    img = jax.random.normal(jax.random.PRNGKey(6), (2, 8, C), jnp.float32) * 0.1
+    ts = init_time_states(cfg) + 0.01
+
+    sparams = dict(params)
+    sparams["rwkv"] = stack_blocks(params["rwkv"])
+
+    for t in (None, ts):
+        y_list = image_as_state_forward(params, cfg, text, img, time_states=t)
+        y_stk = image_as_state_forward(sparams, cfg, text, img, time_states=t)
+        np.testing.assert_allclose(
+            np.asarray(y_stk), np.asarray(y_list), rtol=2e-4, atol=2e-4
+        )
+
+    def loss(t):
+        return (image_as_state_forward(sparams, cfg, text, img, time_states=t)
+                .astype(jnp.float32) ** 2).mean()
+
+    g = jax.grad(loss)(ts)
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    for i in range(cfg.rwkv.n_layer):
+        assert np.abs(g[i]).sum() > 0, f"no gradient into time_states[{i}]"

@@ -329,3 +329,46 @@ def import_timm_vit(sd: Mapping, dst_grid: int) -> Params:
         p["blocks"].append(blk)
         i += 1
     return p
+
+
+def export_timm_vit(p: Params, patch_size: int = None) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`import_timm_vit`: ViT params -> timm state-dict
+    layout (the layout inside released combined checkpoints). Used to
+    synthesize reference-layout checkpoints for converter round-trip and
+    golden-file tests; keys/shapes mirror timm VisionTransformer."""
+    sd: Dict[str, np.ndarray] = {}
+    pe = np.asarray(p["patch_embed"]["weight"])  # [p*p*3, C]
+    C = pe.shape[1]
+    if patch_size is None:
+        patch_size = int(round((pe.shape[0] // 3) ** 0.5))
+    sd["patch_embed.proj.weight"] = (
+        pe.reshape(patch_size, patch_size, 3, C).transpose(3, 2, 0, 1)
+    )
+    if "bias" in p["patch_embed"]:
+        sd["patch_embed.proj.bias"] = np.asarray(p["patch_embed"]["bias"])
+    pos = np.asarray(p["pos_embed"])
+    sd["pos_embed"] = pos[None]
+    if "cls_token" in p:
+        sd["cls_token"] = np.asarray(p["cls_token"]).reshape(1, 1, -1)
+    if "reg_tokens" in p:
+        sd["reg_token"] = np.asarray(p["reg_tokens"])[None]
+    sd["norm.weight"] = np.asarray(p["ln_out"]["weight"])
+    sd["norm.bias"] = np.asarray(p["ln_out"]["bias"])
+    for i, blk in enumerate(p["blocks"]):
+        base = f"blocks.{i}"
+        sd[f"{base}.norm1.weight"] = np.asarray(blk["ln1"]["weight"])
+        sd[f"{base}.norm1.bias"] = np.asarray(blk["ln1"]["bias"])
+        sd[f"{base}.norm2.weight"] = np.asarray(blk["ln2"]["weight"])
+        sd[f"{base}.norm2.bias"] = np.asarray(blk["ln2"]["bias"])
+        sd[f"{base}.attn.qkv.weight"] = np.asarray(blk["attn"]["qkv"]["weight"]).T
+        sd[f"{base}.attn.qkv.bias"] = np.asarray(blk["attn"]["qkv"]["bias"])
+        sd[f"{base}.attn.proj.weight"] = np.asarray(blk["attn"]["proj"]["weight"]).T
+        sd[f"{base}.attn.proj.bias"] = np.asarray(blk["attn"]["proj"]["bias"])
+        sd[f"{base}.mlp.fc1.weight"] = np.asarray(blk["mlp"]["fc1"]["weight"]).T
+        sd[f"{base}.mlp.fc1.bias"] = np.asarray(blk["mlp"]["fc1"]["bias"])
+        sd[f"{base}.mlp.fc2.weight"] = np.asarray(blk["mlp"]["fc2"]["weight"]).T
+        sd[f"{base}.mlp.fc2.bias"] = np.asarray(blk["mlp"]["fc2"]["bias"])
+        if "ls1" in blk:
+            sd[f"{base}.ls1.gamma"] = np.asarray(blk["ls1"])
+            sd[f"{base}.ls2.gamma"] = np.asarray(blk["ls2"])
+    return sd

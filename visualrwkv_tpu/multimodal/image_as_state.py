@@ -74,13 +74,11 @@ def image_as_state_forward(
     x_img, x_txt = image_emb, text_emb
     vf_img = vf_txt = None
 
-    def block_step(blk, i, x_img, vf_img, x_txt, vf_txt):
+    def block_step(blk, i, x_img, vf_img, x_txt, vf_txt, ts_i=None):
         init_img = None
-        if time_states is not None:
+        if ts_i is not None:
             init_img = _wkv_only_state(
-                cfg, n_img, jnp.broadcast_to(
-                    time_states[i], (n_img,) + time_states[i].shape
-                ),
+                cfg, n_img, jnp.broadcast_to(ts_i, (n_img,) + ts_i.shape)
             )
         x_img, vf_img, st_img = lm.lm_block_forward(blk, rcfg, i, x_img, vf_img, init_img)
         wkv = st_img.wkv
@@ -91,15 +89,56 @@ def image_as_state_forward(
         x_txt, vf_txt, _ = lm.lm_block_forward(blk, rcfg, i, x_txt, vf_txt, txt_state)
         return x_img, vf_img, x_txt, vf_txt
 
+    from visualrwkv_tpu.models.rwkv7 import is_stacked
+
+    if is_stacked(params["rwkv"]):
+        # stacked layout: scan the double pass (image -> state -> text) over
+        # blocks 1..L-1 (O(1)-in-depth compile, like rwkv7_forward_stacked)
+        sp = params["rwkv"]
+        ts0 = time_states[0] if time_states is not None else None
+        x_img, vf_img, x_txt, vf_txt = block_step(
+            sp["block0"], 0, x_img, vf_img, x_txt, vf_txt, ts0
+        )
+
+        if time_states is None:
+            def body(carry, blk):
+                xi, vi, xt, vt = carry
+                fn = lambda b, a1, a2, a3, a4: block_step(b, 1, a1, a2, a3, a4)
+                if grad_cp:
+                    fn = jax.checkpoint(fn)
+                return fn(blk, xi, vi, xt, vt), None
+
+            xs = sp["blocks_stacked"]
+        else:
+            def body(carry, xs_i):
+                xi, vi, xt, vt = carry
+                blk, ts_i = xs_i
+                fn = lambda b, a1, a2, a3, a4, t: block_step(b, 1, a1, a2, a3, a4, t)
+                if grad_cp:
+                    fn = jax.checkpoint(fn)
+                return fn(blk, xi, vi, xt, vt, ts_i), None
+
+            xs = (sp["blocks_stacked"], time_states[1:])
+        (x_img, vf_img, x_txt, vf_txt), _ = jax.lax.scan(
+            body, (x_img, vf_img, x_txt, vf_txt), xs
+        )
+        x = layer_norm(params["rwkv"]["ln_out"], x_txt)
+        if pad_t:
+            x = x[:, pad_t:]
+        return linear(params["rwkv"]["head"], x, jnp.dtype(rcfg.compute_dtype))
+
     for i in range(rcfg.n_layer):
         blk = params["rwkv"]["blocks"][i]
+        ts_i = time_states[i] if time_states is not None else None
         if grad_cp:
             fn = jax.checkpoint(
-                lambda b, xi, vi, xt, vt, i=i: block_step(b, i, xi, vi, xt, vt)
+                lambda b, xi, vi, xt, vt, t, i=i: block_step(b, i, xi, vi, xt, vt, t)
             )
-            x_img, vf_img, x_txt, vf_txt = fn(blk, x_img, vf_img, x_txt, vf_txt)
+            x_img, vf_img, x_txt, vf_txt = fn(blk, x_img, vf_img, x_txt, vf_txt, ts_i)
         else:
-            x_img, vf_img, x_txt, vf_txt = block_step(blk, i, x_img, vf_img, x_txt, vf_txt)
+            x_img, vf_img, x_txt, vf_txt = block_step(
+                blk, i, x_img, vf_img, x_txt, vf_txt, ts_i
+            )
 
     x = layer_norm(params["rwkv"]["ln_out"], x_txt)
     if pad_t:

@@ -142,8 +142,9 @@ class Trainer:
 
         # stacked-layer layout (lax.scan over depth): opt-in, x070-only.
         # Partial freezing works stacked (optim.stacked_layer_freeze zeroes
-        # frozen rows on the stacked axis); state tuning and the
-        # bidirectional image forward still address blocks as a list.
+        # frozen rows on the stacked axis) and so does image-as-state/state
+        # tuning (multimodal.image_as_state scans stacked blocks); only the
+        # bidirectional image forward still addresses blocks as a list.
         # Memory note: stacked OOMs ~27 MB EARLIER than the list layout at
         # the 0B4/B8 HBM edge (the stacked tree's one-big-leaf gradients
         # allocate whole [L-1, ...] buffers where the list layout frees
@@ -153,7 +154,6 @@ class Trainer:
             train_cfg.stacked_layers
             and vlm_cfg.rwkv.version == "x070"
             and self.mesh.shape.get("model", 1) == 1
-            and not train_cfg.enable_state_tuning
             and not getattr(vlm_cfg, "bidirectional_image", False)
             and vlm_cfg.rwkv.n_layer >= 2
         )
