@@ -97,7 +97,7 @@ def wkv6_pallas(
         z0 = jnp.swapaxes(initial_state.astype(jnp.float32), -1, -2).reshape(BH, N, N)
 
     G = 1
-    for cand in (8, 4, 2):
+    for cand in (16, 8, 4, 2):  # larger groups amortize per-program fixed work
         if BH % cand == 0:
             G = cand
             break
