@@ -263,12 +263,13 @@ def test_stacked_layers_training_matches_list_layout():
 
 
 def test_stacked_layers_ineligible_configs_fall_back():
-    cfg = tiny_vlm_cfg()
+    # bidirectional image forward needs per-layer addressing -> list layout
+    # (partial freeze is stacked-eligible since optim.stacked_layer_freeze)
+    cfg = tiny_vlm_cfg().replace(bidirectional_image=True)
     params = init_visualrwkv_params(jax.random.PRNGKey(0), cfg)
-    # partial layer freeze needs per-layer addressing -> stays list layout
     tcfg = TrainConfig(
         lr_init=1e-3, lr_final=1e-3, epoch_steps=1, epoch_count=1,
-        stacked_layers=True, freeze_rwkv_layers=1,
+        stacked_layers=True,
     )
     tr = Trainer(cfg, tcfg, jax.tree_util.tree_map(jnp.copy, params), mesh=make_mesh(n_data=1))
     assert not tr.stacked
