@@ -129,3 +129,142 @@ def test_data_tools(tmp_path):
     out = videomme_to_questions(str(vm), num_frames=2)
     assert out[0]["video"] == "v1"
     assert out[0]["text"].count("<image>") == 2
+
+
+def test_correct_conversation_format():
+    from visualrwkv_tpu.data.tools import correct_conversation_format
+
+    recs = [
+        # odd trailing turn dropped; gpt <image> stripped; tag count matches
+        {"id": "ok", "image": "d/x.jpg", "conversations": [
+            {"from": "user", "value": "<image>\nq"},
+            {"from": "bot", "value": "<image> a"},
+            {"from": "human", "value": "dangling"}]},
+        # zero tags for 2 images -> both prepended
+        {"id": "pad", "image": ["d/x.jpg", "d/y.jpg"], "conversations": [
+            {"from": "human", "value": "q"}, {"from": "gpt", "value": "a"}]},
+        # 2 tags for 1 image -> unfixable, dropped
+        {"id": "bad", "image": "d/x.jpg", "conversations": [
+            {"from": "human", "value": "<image><image>q"},
+            {"from": "gpt", "value": "a"}]},
+        {"id": "noimg", "conversations": [{"from": "human", "value": "q"}]},
+    ]
+    out = correct_conversation_format(recs)
+    ids = [r.get("id") for r in out]
+    assert ids == ["ok", "pad", "noimg"]
+    ok = out[0]["conversations"]
+    assert [t["from"] for t in ok] == ["human", "gpt"]
+    assert ok[1]["value"] == "a"
+    assert out[1]["conversations"][0]["value"].count("<image>") == 2
+
+
+def test_extract_and_image_dir_format():
+    from visualrwkv_tpu.data.tools import (
+        extract_by_image_set,
+        image_set_distribution,
+        to_image_dir_format,
+    )
+
+    recs = [
+        {"id": 1, "image": "coco/a.jpg", "conversations": [
+            {"from": "human", "value": "<image>\nq"}, {"from": "gpt", "value": "a"}]},
+        {"id": 2, "image": "gqa/sub/b.jpg", "conversations": [
+            {"from": "human", "value": "<image>\nq"}, {"from": "gpt", "value": "a"}]},
+        {"id": 3, "conversations": []},
+    ]
+    dist = image_set_distribution(recs)
+    assert dist == {"coco": 1, "gqa": 1}
+    assert [r["id"] for r in extract_by_image_set(recs, ["gqa"])] == [2]
+
+    conv = to_image_dir_format(recs)
+    assert conv[0]["image_dir"] == "coco"
+    assert conv[0]["conversations"][0]["image"] == ["a.jpg"]
+    assert conv[1]["conversations"][0]["image"] == ["sub/b.jpg"]
+    assert "image_dir" not in conv[2]
+
+
+def test_reformat_split_and_suffix_carry():
+    from visualrwkv_tpu.data.tools import (
+        clean_missing_responses,
+        split_long_conversations,
+    )
+
+    suffix = "Answer the question using a single word or phrase."
+    convs = []
+    for i in range(5):
+        v = f"q{i}" + (f"\n{suffix}" if i == 0 else "")
+        if i == 0:
+            v = "<image>\n" + v
+        convs.append({"from": "human", "value": v})
+        convs.append({"from": "gpt", "value": f"a{i}" if i != 3 else ""})
+    recs = clean_missing_responses([{"id": "r", "image": "x.jpg",
+                                     "conversations": convs}])
+    assert len(recs[0]["conversations"]) == 8  # empty-gpt pair dropped
+    out = split_long_conversations(recs, max_rounds=2)
+    assert len(out) == 2
+    # every split starts with an <image> tag; later splits re-gain the suffix
+    for rec in out:
+        assert rec["conversations"][0]["value"].count("<image>") == 1
+    assert suffix in out[1]["conversations"][0]["value"]
+
+
+def test_merge_to_multi_round_dedupes():
+    from visualrwkv_tpu.data.tools import merge_to_multi_round
+
+    single = {"id": "s0", "image": "x.jpg", "conversations": [
+        {"from": "human", "value": "<image>\nq0"}, {"from": "gpt", "value": "a0"}]}
+    other = {"id": "s1", "image": "x.jpg", "conversations": [
+        {"from": "human", "value": "<image>\nq1"}, {"from": "gpt", "value": "a1"}]}
+    out = merge_to_multi_round([single, dict(single), other], max_rounds=10)
+    assert len(out) == 1
+    convs = out[0]["conversations"]
+    assert len(convs) == 4  # exact duplicate removed
+    assert convs[0]["value"].count("<image>") == 1
+    assert "<image>" not in convs[2]["value"]
+
+
+def test_check_image_folder(tmp_path):
+    from PIL import Image
+
+    from visualrwkv_tpu.data.tools import check_image_folder, dataset_stats
+
+    root = tmp_path / "imgs"
+    (root / "coco").mkdir(parents=True)
+    Image.new("RGB", (8, 8)).save(root / "coco" / "a.jpg")
+    Image.new("RGB", (8, 8)).save(root / "coco" / "unused.jpg")
+    recs = [
+        {"id": 1, "image_dir": "coco", "conversations": [
+            {"from": "human", "value": "<image>\nq", "image": ["a.jpg"]},
+            {"from": "gpt", "value": "a"}]},
+        {"id": 2, "image_dir": "coco", "conversations": [
+            {"from": "human", "value": "<image>\nq", "image": ["missing.jpg"]},
+            {"from": "gpt", "value": "a"}]},
+    ]
+    f = tmp_path / "d.json"
+    f.write_text(json.dumps(recs))
+    report = check_image_folder(str(f), str(root), try_open=True)
+    assert len(report["missing"]) == 1
+    assert report["unused_by_set"] == {"coco": 1}
+    assert [r["id"] for r in report["valid_records"]] == [1]
+
+    f2 = tmp_path / "flat.json"
+    f2.write_text(json.dumps([{"id": 1, "image": "coco/a.jpg"},
+                              {"id": 2, "image": "coco/a.jpg"}]))
+    st = dataset_stats([str(f2)])
+    assert st[0]["total"] == 2 and st[0]["unique"] == 1
+
+
+def test_tools_cli(tmp_path, capsys):
+    from visualrwkv_tpu.data.tools import _cli
+
+    recs = [{"id": "a", "image": "coco/x.jpg", "conversations": [
+        {"from": "human", "value": "<image>\nq"}, {"from": "gpt", "value": "a"}]}]
+    f = tmp_path / "d.json"
+    f.write_text(json.dumps(recs))
+    out = tmp_path / "c.json"
+    _cli(["correct-format", str(f), str(out)])
+    assert json.load(open(out))[0]["id"] == "a"
+    _cli(["reformat", str(f)])
+    assert (tmp_path / "d_20rounds.json").exists()
+    _cli(["stats", str(f)])
+    assert "total" in capsys.readouterr().out
