@@ -130,3 +130,30 @@ def test_calc_ctxlen(tmp_path):
     assert rep["n_samples"] == 2
     assert rep["zero_valid_label_samples"] == 0
     assert rep["ctx_len"]["p100"] >= rep["ctx_len"]["p50"]
+
+
+def test_demo_generate_prompt_and_text_tab():
+    """app_merge two-tab analog: the raw-generation prompt template matches
+    the reference forms (app_merge.py:29-39) and the text respond function
+    generates from a bare engine without an image."""
+    from visualrwkv_tpu.apps.demo import generate_prompt, text_fn
+    from visualrwkv_tpu.config import VisionConfig, VLMConfig
+    from visualrwkv_tpu.data.tokenizer import get_tokenizer
+    from visualrwkv_tpu.infer.engine import InferenceEngine
+    from visualrwkv_tpu.models.visualrwkv import init_visualrwkv_params
+
+    p = generate_prompt("Summarize.", "some text")
+    assert p == "Instruction: Summarize.\nInput: some text\nResponse:"
+    p2 = generate_prompt("hello")
+    assert p2.startswith("User: hi\n") and p2.endswith("User: hello\nAssistant:")
+
+    cfg = VLMConfig(
+        rwkv=RWKVConfig(n_layer=2, n_embd=64, vocab_size=66000, head_size=32,
+                        compute_dtype="float32", ctx_len=64),
+        vision=VisionConfig(towers=()),
+    )
+    params = init_visualrwkv_params(jax.random.PRNGKey(0), cfg)
+    engine = InferenceEngine(params, cfg)
+    respond = text_fn(engine, get_tokenizer())
+    out = respond("User: hi\nAssistant:", max_new_tokens=4)
+    assert isinstance(out, str)
