@@ -247,7 +247,8 @@ def main(argv=None):
     for epoch in range(args.epoch_begin, args.epoch_begin + args.epoch_count):
         loss = trainer.run_epoch(batches_for_epoch(dataset, epoch), epoch)
         logging.info("epoch %d done, loss %.4f", epoch, loss)
-        if (epoch + 1) % args.epoch_save == 0 or epoch == args.epoch_begin + args.epoch_count - 1:
+        periodic = args.epoch_save > 0 and (epoch + 1) % args.epoch_save == 0
+        if periodic or epoch == args.epoch_begin + args.epoch_count - 1:
             path = str(Path(args.proj_dir).absolute() / f"rwkv-{epoch}")
             trainer.save_checkpoint(path)
             logging.info("saved checkpoint %s", path)
