@@ -159,3 +159,22 @@ def test_batch_sharded_decode_on_mesh(setup):
     sharded = jax.device_put(jnp.asarray(prompts), batch_sharding(mesh))
     got = engine.generate(sharded, max_new_tokens=6, stop_tokens=(-1,))
     np.testing.assert_array_equal(got.tokens, ref.tokens)
+
+
+def test_flat_state_layout_decode_matches_head(setup):
+    """state_layout="flat" (lane-flat [B, 64, H*64] decode carry — no TPU
+    64->128 lane padding, halves decode state traffic) must produce the same
+    greedy generations and near-identical logits as the canonical layout,
+    alone and combined with the bf16 state carry."""
+    cfg, params, engine = setup
+    prompt = np.array([[11, 22, 33, 44, 55, 66, 77]])
+    n = 8
+    ref = engine.generate(prompt, max_new_tokens=n, stop_tokens=(-1,))
+    for dtype in ("float32", "bfloat16"):
+        eng = InferenceEngine(params, cfg, state_dtype=dtype, state_layout="flat")
+        got = eng.generate(prompt, max_new_tokens=n, stop_tokens=(-1,))
+        assert list(got.tokens[0][:n]) == list(ref.tokens[0][:n]), dtype
+    np.testing.assert_allclose(got.logits[0], ref.logits[0], rtol=0.05, atol=0.05)
+
+    with pytest.raises(ValueError):
+        InferenceEngine(params, cfg, state_layout="diag")

@@ -106,3 +106,22 @@ def test_pallas_backward_matches_autodiff():
     grads_pal = wkv6_pallas_bwd(*inputs, zin, dy, dzf, chunk=16)
     for name, gr, gp in zip(["r", "w", "k", "v", "u", "s0"], grads_ref, grads_pal):
         assert rel_err(gp, gr) < 1e-5, f"d{name}: {rel_err(gp, gr)}"
+
+
+def test_step_flat_matches_step():
+    """Lane-flat WKV6 decode step parity (see wkv7 analog)."""
+    from visualrwkv_tpu.ops.wkv6 import wkv6_step, wkv6_step_auto, wkv6_step_flat
+    from visualrwkv_tpu.ops.wkv7 import state_from_flat, state_to_flat
+
+    B, H, N = 3, 4, 16
+    ks = jax.random.split(jax.random.PRNGKey(3), 5)
+    r, k, v = (jax.random.normal(ks[i], (B, H, N)) for i in range(3))
+    w = -0.5 - jax.nn.softplus(-jax.random.normal(ks[3], (B, H, N)))
+    u = jax.random.normal(ks[4], (H, N)) * 0.3
+    s0 = jax.random.normal(jax.random.PRNGKey(8), (B, H, N, N), jnp.float32)
+    s_ref, y_ref = wkv6_step(s0, r, w, k, v, u)
+    s_flat, y_flat = wkv6_step_flat(state_to_flat(s0), r, w, k, v, u)
+    assert np.allclose(np.asarray(y_flat), np.asarray(y_ref), atol=1e-5)
+    assert np.allclose(np.asarray(state_from_flat(s_flat, H)), np.asarray(s_ref), atol=1e-5)
+    s_auto, y_auto = wkv6_step_auto(state_to_flat(s0), r, w, k, v, u)
+    assert np.allclose(np.asarray(y_auto), np.asarray(y_ref), atol=1e-5)

@@ -116,3 +116,33 @@ def test_bf16_inputs_fp32_state():
     assert y_chk.dtype == jnp.bfloat16
     assert s_chk.dtype == jnp.float32
     assert rel_err(y_chk.astype(jnp.float32), y_ref) < 0.03
+
+
+def test_step_flat_matches_step():
+    """Lane-flat decode state layout ([B, Nv, H*Nk], no 64->128 TPU lane
+    padding) must compute the same update/output as the canonical step."""
+    from visualrwkv_tpu.ops.wkv7 import (
+        state_from_flat,
+        state_to_flat,
+        wkv7_step,
+        wkv7_step_flat,
+    )
+
+    B, H, N = 3, 4, 16
+    key = jax.random.PRNGKey(5)
+    r, w, k, v, a, b = (x[:, 0] for x in make_inputs(key, B=B, T=1, H=H, N=N))
+    s0 = jax.random.normal(jax.random.PRNGKey(9), (B, H, N, N), jnp.float32)
+    s_ref, y_ref = wkv7_step(s0, r, w, k, v, a, b)
+    s_flat, y_flat = wkv7_step_flat(state_to_flat(s0), r, w, k, v, a, b)
+    assert s_flat.shape == (B, N, H * N)
+    assert rel_err(y_flat, y_ref) < 1e-6
+    assert rel_err(state_from_flat(s_flat, H), s_ref) < 1e-6
+    # bf16 carry preserved
+    s16, _ = wkv7_step_flat(state_to_flat(s0).astype(jnp.bfloat16), r, w, k, v, a, b)
+    assert s16.dtype == jnp.bfloat16
+
+    # dispatch: 3-D state routes to the flat step
+    from visualrwkv_tpu.ops.wkv7 import wkv7_step_auto
+
+    s_auto, y_auto = wkv7_step_auto(state_to_flat(s0), r, w, k, v, a, b)
+    assert rel_err(y_auto, y_ref) < 1e-6

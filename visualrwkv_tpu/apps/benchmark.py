@@ -39,6 +39,9 @@ def main(argv=None):
     p.add_argument("--ctx_len", default=2048, type=int)
     p.add_argument("--quant", default="none", choices=["none", "int8"])
     p.add_argument("--state_dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--state_layout", default="head", choices=["head", "flat"],
+                   help="flat = lane-flat [B, 64, H*64] decode state carry "
+                        "(no TPU 64->128 lane padding)")
     p.add_argument("--batch", default=1, type=int)
     p.add_argument("--max_pow", default=10, type=int, help="max new_tokens = 2^max_pow")
     p.add_argument("--reps", default=15, type=int)
@@ -74,6 +77,10 @@ def main(argv=None):
     @jax.jit
     def prefill(params, tokens):
         logits, states = rwkv7.rwkv7_forward_tokens(params, cfg, tokens)
+        if args.state_layout == "flat":  # strategy 'flat': unpadded state carry
+            from visualrwkv_tpu.ops.wkv7 import state_to_flat
+
+            states = [s._replace(wkv=state_to_flat(s.wkv)) for s in states]
         # serving state dtype (strategy 's16'): halves decode state traffic
         states = [s._replace(wkv=s.wkv.astype(state_dt)) for s in states]
         return logits[:, -1].astype(jnp.float32), states

@@ -82,7 +82,8 @@ def build_engine(args):
         from visualrwkv_tpu.infer.quant import quantize_lm_params
 
         params["rwkv"] = quantize_lm_params(params["rwkv"])
-    return InferenceEngine(params, cfg, state_dtype=args.state_dtype), cfg
+    return InferenceEngine(params, cfg, state_dtype=args.state_dtype,
+                           state_layout=args.state_layout), cfg
 
 
 def build_text_engine(args):
@@ -117,7 +118,8 @@ def build_text_engine(args):
         from visualrwkv_tpu.infer.quant import quantize_lm_params
 
         params["rwkv"] = quantize_lm_params(params["rwkv"])
-    return InferenceEngine(params, cfg, state_dtype=args.state_dtype)
+    return InferenceEngine(params, cfg, state_dtype=args.state_dtype,
+                           state_layout=args.state_layout)
 
 
 def chat_fn(engine, tokenizer, cfg):
@@ -161,6 +163,8 @@ def main(argv=None):
                    help="strategy string (overrides --quant/--state_dtype), e.g. 'tpu bf16i8 s16'")
     p.add_argument("--state_dtype", default="float32", choices=["float32", "bfloat16"],
                    help="decode WKV state carry dtype (bf16 ~= 1.5x decode throughput)")
+    p.add_argument("--state_layout", default="head", choices=["head", "flat"],
+                   help="flat = lane-flat unpadded decode state carry")
     p.add_argument("--share", action="store_true")
     p.add_argument("--lm_model_path", default="", type=str,
                    help="separate bare text-RWKV .pth for a raw-generation "

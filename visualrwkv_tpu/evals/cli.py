@@ -29,6 +29,8 @@ def build_argparser():
                    "keys (reference app/modeling_rwkv.py:227-244)")
     p.add_argument("--quant", default="none", choices=["none", "int8"])
     p.add_argument("--state_dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--state_layout", default="head", choices=["head", "flat"],
+                   help="flat = lane-flat unpadded decode state carry")
     p.add_argument("--eval_batch", default=1, type=int,
                    help="questions decoded together (grouped by bucketed length; "
                    "batched decode ~25x single-stream throughput at 32)")
@@ -122,7 +124,8 @@ def build_engine(args):
 
         params["rwkv"] = quantize_lm_params(params["rwkv"])
 
-    return InferenceEngine(params, cfg, state_dtype=args.state_dtype), cfg
+    return InferenceEngine(params, cfg, state_dtype=args.state_dtype,
+                           state_layout=args.state_layout), cfg
 
 
 def main(argv=None):

@@ -123,15 +123,24 @@ def _decode_loop(params, cfg: VLMConfig, first_logits, states, key, sp: Sampling
 class InferenceEngine:
     """Stateful convenience wrapper holding params + jitted paths + state cache."""
 
-    def __init__(self, params: Params, cfg: VLMConfig, state_dtype: str = "float32"):
+    def __init__(self, params: Params, cfg: VLMConfig, state_dtype: str = "float32",
+                 state_layout: str = "head"):
         """state_dtype: dtype the recurrent WKV state is CARRIED in during
         decode ("float32" default = reference precision; "bfloat16" halves
         the dominant decode HBM-traffic term at 1B5/B32 — step math still
         runs fp32, only the carried state is rounded). Token-shift carries
-        stay fp32 (negligible size, norm-sensitive)."""
+        stay fp32 (negligible size, norm-sensitive).
+
+        state_layout: "head" carries the canonical [B, H, 64, 64] WKV state
+        (lane-padded 64->128 by TPU tiling, 2x its logical bytes every step);
+        "flat" carries [B, 64, H*64] with no padding (ops.wkv7.wkv7_step_flat)
+        — identical math, prefill states are converted once before decode."""
+        if state_layout not in ("head", "flat"):
+            raise ValueError(f"unknown state_layout {state_layout!r}")
         self.params = params
         self.cfg = cfg
         self.state_dtype = jnp.dtype(state_dtype)
+        self.state_layout = state_layout
         self._state_cache: Dict[str, Any] = {}
         self._sample_counter = 0  # default-key entropy across generate() calls
         # params flow as explicit jit arguments (closure capture would bake
@@ -210,6 +219,10 @@ class InferenceEngine:
             self._sample_counter += 1
             key = jax.random.PRNGKey(self._sample_counter)
         first_logits, states = self.prefill_ids(input_ids, images, states)
+        if self.state_layout == "flat":
+            from visualrwkv_tpu.ops.wkv7 import state_to_flat
+
+            states = [st._replace(wkv=state_to_flat(st.wkv)) for st in states]
         if self.state_dtype != jnp.float32:
             states = [st._replace(wkv=st.wkv.astype(self.state_dtype)) for st in states]
         tokens, lengths, tls, tps, _ = self._decode(

@@ -14,6 +14,9 @@ optional weight quantization:
                          fp16 serving strategies also carry half-precision
                          states; halves the dominant decode HBM-traffic term,
                          measured 4448 -> 6694 tok/s at 1B5/B32 int8)
+    "tpu bf16i8 s16 flat"  + lane-flat [B, 64, H*64] decode state carry (no
+                         TPU 64->128 lane padding -> halves state traffic
+                         again; ops.wkv7.wkv7_step_flat)
 
 ``apply_strategy`` places/casts a parameter tree accordingly; ``state_dtype``
 is consumed by ``InferenceEngine``.
@@ -32,7 +35,8 @@ _STRATEGY_RE = re.compile(
     r"^\s*(?P<device>tpu|cpu|gpu)\s+"
     r"(?P<dtype>bf16|fp16|fp32)(?P<quant>i8)?"
     r"(?:\s+\*(?P<mod>int8|stream))?"
-    r"(?:\s+s(?P<state>16|32))?\s*$"
+    r"(?:\s+s(?P<state>16|32))?"
+    r"(?:\s+(?P<layout>flat))?\s*$"
 )
 
 _DTYPES = {"bf16": jnp.bfloat16, "fp16": jnp.float16, "fp32": jnp.float32}
@@ -44,6 +48,7 @@ class Strategy:
     compute_dtype: Any = jnp.bfloat16
     int8_weights: bool = False
     state_dtype: str = "float32"  # WKV decode-state carry dtype
+    state_layout: str = "head"  # "head" | "flat" decode-state layout
 
     @property
     def dtype_name(self) -> str:
@@ -61,6 +66,7 @@ def parse_strategy(s: str) -> Strategy:
         compute_dtype=_DTYPES[m.group("dtype")],
         int8_weights=bool(m.group("quant")) or m.group("mod") == "int8",
         state_dtype="bfloat16" if m.group("state") == "16" else "float32",
+        state_layout="flat" if m.group("layout") else "head",
     )
 
 
@@ -71,7 +77,8 @@ def make_engine(params, cfg, strategy):
     params = apply_strategy(params, s)
     from visualrwkv_tpu.infer.engine import InferenceEngine
 
-    return InferenceEngine(params, cfg, state_dtype=s.state_dtype)
+    return InferenceEngine(params, cfg, state_dtype=s.state_dtype,
+                           state_layout=s.state_layout)
 
 
 def apply_strategy(params, strategy: Strategy):

@@ -49,12 +49,36 @@ def wkv6_step(
     return state, y
 
 
+def wkv6_step_flat(
+    state: Array, r: Array, w_raw: Array, k: Array, v: Array, u: Array
+) -> Tuple[Array, Array]:
+    """Single-token WKV6 update on the lane-flat state layout
+    ``[B, N_v, H*N_k]`` (see ops.wkv7.wkv7_step_flat for the rationale: the
+    canonical [B,H,64,64] buffer lane-pads 64->128, doubling the dominant
+    decode HBM-traffic term). Same math as :func:`wkv6_step`."""
+    B, N, HN = state.shape
+    H = HN // N
+    f32 = jnp.float32
+    out_dtype = r.dtype
+    r, k, v = (x.astype(f32) for x in (r, k, v))  # [B, H, N]
+    u = u.astype(f32)  # [H, N]
+    w = jnp.exp(-jnp.exp(w_raw.astype(f32)))
+    s4 = state.astype(f32).reshape(B, N, H, N)  # [B, i, H, j] fused view
+    bonus = jnp.sum(u * k * r, axis=-1)  # [B, H]
+    y = jnp.swapaxes((s4 * r[:, None]).sum(-1), 1, 2) + bonus[..., None] * v
+    s4 = s4 * w[:, None] + jnp.swapaxes(v, 1, 2)[..., None] * k[:, None]
+    return s4.reshape(B, N, HN).astype(state.dtype), y.astype(out_dtype)
+
+
 def wkv6_step_auto(state, r, w_raw, k, v, u):
     """Decode-step dispatch; policy in ops.wkv7.set_wkv_step_impl (measured:
     the fused step kernel wins in isolation but loses end-to-end — default
-    jnp). Same contract as :func:`wkv6_step` (u is per-head [H, N])."""
+    jnp). Same contract as :func:`wkv6_step` (u is per-head [H, N]); a 3-D
+    state selects the lane-flat layout (:func:`wkv6_step_flat`)."""
     from visualrwkv_tpu.ops.wkv7 import _STEP_IMPL
 
+    if state.ndim == 3:
+        return wkv6_step_flat(state, r, w_raw, k, v, u)
     if (
         _STEP_IMPL == "pallas"
         and jax.default_backend() == "tpu"
