@@ -95,35 +95,51 @@ def detect_rwkv_version(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
     "vocab_size", "head_size", "n_head"}; raises on pre-5.2 generations
     (VisualRWKV's v5 releases are all RWKV-5.2 World models).
     """
-    keys = {k[len("rwkv."):] if k.startswith("rwkv.") else k: v
-            for k, v in state_dict.items()}
+    # restrict to LM keys: combined VisualRWKV checkpoints carry vision-tower
+    # keys like "vit.dino_featurizer.blocks.0..." whose "blocks." segment
+    # would both crash the layer-index parse and inflate n_layer
+    lm_prefixes = ("emb.", "blocks.", "ln_out.", "head.")
+    keys = {}
+    for k, v in state_dict.items():
+        k = k[len("rwkv."):] if k.startswith("rwkv.") else k
+        if k.startswith(lm_prefixes):
+            keys[k] = v
+
+    def shape_of(t):
+        return tuple(getattr(t, "shape", np.asarray(t).shape))
+
+    # pass 1: version from key signatures alone (insertion-order independent;
+    # the reference scans keys in order, which mis-versions dicts where a
+    # block's time_decay precedes its ln_x)
     version = 4.0
-    n_layer = 0
-    n_head = None
-    head_size = None
     for k, t in keys.items():
-        if "blocks." in k:
-            n_layer = max(n_layer, int(k.split(".")[1]) + 1)
         if "ln_x" in k:
             version = max(5.0, version)
         if "gate.weight" in k:
             version = max(5.1, version)
-        if int(version) == 5 and k.endswith("att.time_decay"):
-            shape = tuple(getattr(t, "shape", np.asarray(t).shape))
-            n_head = shape[0]
-            if len(shape) > 1 and shape[1] > 1:
-                version = max(5.2, version)
-                head_size = shape[1]
+        if k.endswith("att.time_decay") and len(shape_of(t)) > 1 and shape_of(t)[1] > 1:
+            version = max(5.2, version)
         if "time_maa" in k:
             version = max(6.0, version)
         if k.endswith("att.r_k") or k.endswith("att.w0"):
             version = max(7.0, version)
-        if version >= 6.0 and k.endswith("att.time_faaaa"):
-            shape = tuple(getattr(t, "shape", np.asarray(t).shape))
-            n_head, head_size = shape[0], shape[1]
+
+    # pass 2: geometry, by detected version
+    n_layer = 0
+    n_head = None
+    head_size = None
+    for k, t in keys.items():
+        if k.startswith("blocks."):
+            n_layer = max(n_layer, int(k.split(".")[1]) + 1)
+        if version < 6.0 and k.endswith("att.time_decay"):
+            shape = shape_of(t)
+            n_head = shape[0]
+            if len(shape) > 1 and shape[1] > 1:
+                head_size = shape[1]
+        if 6.0 <= version < 7.0 and k.endswith("att.time_faaaa"):
+            n_head, head_size = shape_of(t)[:2]
         if version >= 7.0 and k.endswith("att.r_k"):
-            shape = tuple(getattr(t, "shape", np.asarray(t).shape))
-            n_head, head_size = shape[0], shape[1]
+            n_head, head_size = shape_of(t)[:2]
     emb = keys.get("emb.weight")
     vocab_size, n_embd = (
         tuple(getattr(emb, "shape", np.asarray(emb).shape)) if emb is not None

@@ -14,9 +14,10 @@ optional weight quantization:
                          fp16 serving strategies also carry half-precision
                          states; halves the dominant decode HBM-traffic term,
                          measured 4448 -> 6694 tok/s at 1B5/B32 int8)
-    "tpu bf16i8 s16 flat"  + lane-flat [B, 64, H*64] decode state carry (no
-                         TPU 64->128 lane padding -> halves state traffic
-                         again; ops.wkv7.wkv7_step_flat)
+    "tpu bf16i8 flat"    + lane-flat [B, 64, H*64] decode state carry (no
+                         TPU 64->128 lane padding; measured +6% for
+                         fp32-state configs, but LOSES to s16 — see
+                         ops.wkv7.wkv7_step_flat for numbers)
 
 ``apply_strategy`` places/casts a parameter tree accordingly; ``state_dtype``
 is consumed by ``InferenceEngine``.

@@ -100,10 +100,15 @@ def wkv7_step_flat(
     2x its logical bytes. Decode at large batch is state-bandwidth-bound
     (carrying the state bf16 alone was +50% throughput at 1B5/B32), so the
     flat layout folds (head, key) into one ``H*64``-lane minor dimension with
-    zero padding. The update is written as elementwise ops + minor-dim
-    reductions on a reshaped view so XLA fuses it without materializing a
-    padded 4-D intermediate. Same math as :func:`wkv7_step`, carried dtype
-    preserved (pairs with the bf16 ``state_dtype`` serving option).
+    zero padding. Same math as :func:`wkv7_step`, carried dtype preserved.
+
+    MEASURED (v5e, 1B5 int8, B=32, tok/s): flat+fp32 4729 vs head+fp32 4452
+    (+6%), but flat+bf16 4861 vs head+bf16 6703 (-27%): XLA does not fuse the
+    reshaped [B, N, H, N] view's update + two minor-dim reductions into the
+    flat carry — the padded fp32 intermediates it materializes outweigh the
+    padding saved. The serving default therefore stays the canonical layout
+    with the bf16 carry ("s16"); "flat" remains available for fp32-state
+    configs. Negative result kept documented (PROGRESS.md ledger).
     """
     B, N, HN = state.shape
     H = HN // N
