@@ -70,7 +70,7 @@ def run_both(ids, labels, feats, ctx_len):
     E_ref, Y_ref, max_idx = oracle(ids, labels, feats, table, ctx_len)
     plan = leftpad_plan(ids, feats.shape[1], ctx_len)
     assert plan.max_idx == max_idx
-    E, Y = leftpad_insert(table, ids, labels, feats, plan)
+    E, Y, _ = leftpad_insert(table, ids, labels, feats, plan)
     E, Y = np.asarray(E), np.asarray(Y)
     # ours buckets T_out up to a chunk multiple; extra slots must be pure pad
     assert E.shape[1] >= E_ref.shape[1]
@@ -203,3 +203,46 @@ def test_training_loss_leftpad_with_features():
     # gradients flow into the inserted features of image-bearing samples only
     assert np.abs(gf[0]).sum() > 0 and np.abs(gf[1]).sum() > 0
     assert np.abs(gf[2]).sum() == 0  # image-free sample: features zeroed
+
+
+def test_bidirectional_flip_tracks_truncation_offset():
+    """Regression: a tail-keep-truncated row's image span sits at output
+    slots [max_idx - off, ...); the bidirectional flip must follow it
+    (previously the batch-wide max_idx was flipped, reversing text
+    embeddings for truncated rows)."""
+    import jax.numpy as jnp
+
+    from visualrwkv_tpu.models.visualrwkv import _flip_span
+
+    rng = np.random.default_rng(0)
+    table = rng.normal(size=(V, C)).astype(np.float32)
+    L, ctx, T_in = 4, 19, 16
+    # row 0: raw_len == ctx, head labels valid -> off=0.
+    # row 1: early image + long tail whose only valid labels fall beyond the
+    # head window -> tail-keep truncation (off > 0), image span survives
+    # (off <= max_idx).
+    ids = np.full((2, T_in), 7, dtype=np.int64)
+    labels = np.full((2, T_in), IGNORE_INDEX, dtype=np.int64)
+    ids[0, 10] = IMAGE_TOKEN_INDEX
+    labels[0, 11:13] = 5  # head window valid -> off=0
+    ids[1, 2] = IMAGE_TOKEN_INDEX
+    labels[1, T_in - 2 :] = 5  # raw positions beyond ctx -> head_valid False
+    feats = rng.normal(size=(2, L, C)).astype(np.float32)
+
+    plan = leftpad_plan(ids, L, ctx)
+    E, Y, off = leftpad_insert(table, ids, labels, feats, plan)
+    off = np.asarray(off)
+    assert off[0] == 0 and off[1] > 0
+    # the features really do sit at max_idx - off per row
+    for b in range(2):
+        s = plan.max_idx - off[b]
+        np.testing.assert_allclose(
+            np.asarray(E)[b, s : s + L], feats[b], atol=1e-6
+        )
+    # per-row flip reverses exactly the image span of each row
+    flipped = np.asarray(
+        _flip_span(jnp.asarray(E), jnp.asarray(plan.max_idx - off), L)
+    )
+    for b in range(2):
+        s = plan.max_idx - off[b]
+        np.testing.assert_allclose(flipped[b, s : s + L], feats[b][::-1], atol=1e-6)

@@ -193,3 +193,34 @@ def test_detect_rwkv_version():
     }
     with pytest.raises(NotImplementedError):
         detect_rwkv_version(legacy)
+
+
+def test_detect_rwkv_version_combined_and_order_independent():
+    """Regressions: (a) combined VisualRWKV checkpoints carry vision keys like
+    'vit.dino_featurizer.blocks.0...' which must not crash the layer parse or
+    inflate n_layer; (b) detection must not depend on state-dict insertion
+    order (a block's time_decay may precede its ln_x/gate keys)."""
+    z = np.zeros
+    combined = {
+        "rwkv.emb.weight": z((512, 128)),
+        "rwkv.blocks.0.att.r_k": z((2, 64)),
+        "rwkv.blocks.0.att.w0": z((1, 1, 128)),
+        "rwkv.blocks.1.att.r_k": z((2, 64)),
+        "vit.dino_featurizer.blocks.0.attn.qkv.weight": z((96, 32)),
+        "vit.dino_featurizer.blocks.11.attn.qkv.weight": z((96, 32)),
+        "proj.o_proj.weight": z((128, 3200)),
+    }
+    info = detect_rwkv_version(combined)
+    assert info["version"] == "x070" and info["n_layer"] == 2
+
+    # single-block v5.2 with time_decay FIRST: order-dependent scanning would
+    # read it while version is still 4.x and miss the 2-D-shape promotion
+    x052_reordered = {
+        "blocks.0.att.time_decay": z((2, 64)),
+        "blocks.0.att.time_faaaa": z((2, 64)),
+        "blocks.0.att.gate.weight": z((128, 128)),
+        "blocks.0.att.ln_x.weight": z((128,)),
+        "emb.weight": z((512, 128)),
+    }
+    info = detect_rwkv_version(x052_reordered)
+    assert info["version"] == "x052" and info["head_size"] == 64

@@ -268,3 +268,24 @@ def test_tools_cli(tmp_path, capsys):
     assert (tmp_path / "d_20rounds.json").exists()
     _cli(["stats", str(f)])
     assert "total" in capsys.readouterr().out
+
+
+def test_merge_and_split_handle_imageless_records():
+    """Regressions: to-multi-round must pass text-only records through (was
+    KeyError) and tolerate list-valued images (was unhashable); reformat's
+    split must not add <image> tags to imageless conversations."""
+    from visualrwkv_tpu.data.tools import merge_to_multi_round, split_long_conversations
+
+    img = {"id": "a", "image": ["d/x.jpg"], "conversations": [
+        {"from": "human", "value": "<image>\nq"}, {"from": "gpt", "value": "a"}]}
+    noimg = {"id": "t", "conversations": [
+        {"from": "human", "value": "q"}, {"from": "gpt", "value": "a"}]}
+    out = merge_to_multi_round([img, noimg], max_rounds=10)
+    assert {r["id"] for r in out} == {"a", "t"}
+
+    long_noimg = {"id": "t2", "conversations": [
+        t for i in range(4) for t in (
+            {"from": "human", "value": f"q{i}"}, {"from": "gpt", "value": f"a{i}"})]}
+    splits = split_long_conversations([long_noimg], max_rounds=2)
+    assert len(splits) == 2
+    assert all("<image>" not in s["conversations"][0]["value"] for s in splits)

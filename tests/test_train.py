@@ -390,3 +390,34 @@ def test_stacked_partial_freeze_matches_list():
             )
         )
         assert moved > 0  # unfrozen layers trained
+
+
+def test_trainer_leftpad_insertion_mode():
+    """insertion_mode='leftpad' must actually train through the Trainer (the
+    flag previously selected nothing): finite decreasing-capable loss, params
+    updated, plan recomputed per batch (static-arg recompile path)."""
+    cfg = tiny_vlm_cfg().replace(insertion_mode="leftpad")
+    params = init_visualrwkv_params(jax.random.PRNGKey(0), cfg)
+    before = np.asarray(
+        jax.tree_util.tree_leaves(params["rwkv"]["blocks"])[0]
+    ).copy()
+
+    # leftpad batches carry ONE un-expanded image token per sample
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    bsz, T = 4, 32
+    ids = np.array(jax.random.randint(k1, (bsz, T), 1, 300))
+    ids[:, 2] = IMAGE_TOKEN_INDEX
+    labels = np.where(ids == IMAGE_TOKEN_INDEX, IGNORE_INDEX, ids)
+    images = {"dino": np.asarray(
+        jax.random.randint(k2, (bsz, 16, 16, 3), 0, 255), np.uint8)}
+    batch = {"input_ids": ids, "labels": labels, "images": images}
+
+    tcfg = TrainConfig(
+        lr_init=1e-2, lr_final=1e-2, epoch_steps=2, epoch_count=1,
+        micro_bsz=bsz, grad_cp=False, zero_stage=0,
+    )
+    tr = Trainer(cfg, tcfg, params, mesh=make_mesh(n_data=1))
+    loss = tr.run_epoch(lambda s: batch, epoch=0)
+    assert np.isfinite(loss)
+    after = np.asarray(jax.tree_util.tree_leaves(tr.state.params["rwkv"]["blocks"])[0])
+    assert not np.array_equal(before, after)

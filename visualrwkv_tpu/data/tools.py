@@ -234,9 +234,10 @@ def split_long_conversations(
             out.append(rec)
             continue
         carry_suffix = convs and _SINGLE_WORD_SUFFIX in convs[0].get("value", "")
+        has_image = "image" in rec
         for start in range(0, len(pairs), max_rounds):
             chunk = [dict(t) for pair in pairs[start : start + max_rounds] for t in pair]
-            if "<image>" not in chunk[0]["value"]:
+            if has_image and "<image>" not in chunk[0]["value"]:
                 chunk[0]["value"] = "<image>\n" + chunk[0]["value"]
             if start and carry_suffix and _SINGLE_WORD_SUFFIX not in chunk[0]["value"]:
                 chunk[0]["value"] += "\n" + _SINGLE_WORD_SUFFIX
@@ -252,10 +253,16 @@ def merge_to_multi_round(
     conversations are deduped, later rounds lose their ``<image>\\n`` prefix,
     and conversations longer than ``max_rounds`` are re-split."""
     by_image: Dict[str, List[Dict]] = {}
+    passthrough = []
     for rec in records:
-        by_image.setdefault(rec["image"], []).append(rec)
+        if "image" not in rec:  # text-only records pass through unmerged
+            passthrough.append(rec)
+            continue
+        # str() key: normalized records may carry list-valued images
+        by_image.setdefault(str(rec["image"]), []).append(rec)
     merged = []
-    for image, recs in by_image.items():
+    for _, recs in by_image.items():
+        image = recs[0]["image"]
         seen, convs = set(), []
         for rec in recs:
             key = json.dumps(rec["conversations"], sort_keys=True)
@@ -269,7 +276,7 @@ def merge_to_multi_round(
             turn["value"] = turn["value"].replace("<image>\n", "")
         merged.append({"id": recs[0].get("id"), "image": image,
                        "conversations": convs})
-    return split_long_conversations(merged, max_rounds=max_rounds)
+    return split_long_conversations(merged, max_rounds=max_rounds) + passthrough
 
 
 def check_image_folder(

@@ -63,6 +63,14 @@ def score_pope(args) -> None:
                 a for a in answers
                 if questions[a["question_id"]].get("category") == category
             ]
+            if len(cur) != len(labels):
+                # zip-order pairing is only sound on complete, in-order
+                # results; fail loudly instead of mis-pairing silently
+                raise ValueError(
+                    f"POPE {category}: {len(cur)} answers vs {len(labels)} "
+                    "annotation labels — results are incomplete or reordered "
+                    "(stale chunk files? crashed eval shard?)"
+                )
             recs = [
                 {"text": a["text"], "label": lbl} for a, lbl in zip(cur, labels)
             ]

@@ -124,11 +124,23 @@ def image_token_span(input_ids: Array) -> Array:
 
 
 def _flip_span(x: Array, start: Array, length: int) -> Array:
-    """Reverse x[:, start:start+length] (static length, traced start)."""
-    span = jax.lax.dynamic_slice_in_dim(x, start, length, axis=1)
-    return jax.lax.dynamic_update_slice_in_dim(
-        x, jnp.flip(span, axis=1), start, axis=1
-    )
+    """Reverse x[:, start:start+length] (static length, traced start).
+
+    ``start`` may be a scalar (shared span) or [B] (per-row spans — needed
+    under leftpad tail-keep truncation, which shifts a row's image span)."""
+    if getattr(start, "ndim", 0) == 0:
+        span = jax.lax.dynamic_slice_in_dim(x, start, length, axis=1)
+        return jax.lax.dynamic_update_slice_in_dim(
+            x, jnp.flip(span, axis=1), start, axis=1
+        )
+
+    def one(row, s):
+        span = jax.lax.dynamic_slice_in_dim(row, s, length, axis=0)
+        return jax.lax.dynamic_update_slice_in_dim(
+            row, jnp.flip(span, axis=0), s, axis=0
+        )
+
+    return jax.vmap(one)(x, start)
 
 
 def bidirectional_forward(
@@ -214,14 +226,15 @@ def vlm_forward_leftpad(
         plan = leftpad_plan(
             np.asarray(input_ids), int(image_features.shape[1]), cfg.rwkv.ctx_len
         )
-    emb, new_labels = leftpad_insert(
+    emb, new_labels, off = leftpad_insert(
         params["rwkv"]["emb"]["weight"], input_ids, labels, image_features, plan
     )
     if cfg.bidirectional_image:
         if return_hidden:
             raise ValueError("bidirectional path returns logits only")
+        # tail-keep-truncated rows have their image span shifted left by off
         out = bidirectional_forward(
-            params, cfg, emb, jnp.asarray(plan.max_idx), plan.flip_len, grad_cp
+            params, cfg, emb, plan.max_idx - off, plan.flip_len, grad_cp
         )
     else:
         out, _ = lm.lm_forward(

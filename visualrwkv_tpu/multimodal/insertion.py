@@ -80,11 +80,14 @@ def leftpad_insert(
     labels: Array,
     image_features: Array,
     plan: LeftpadPlan,
-) -> Tuple[Array, Array]:
-    """Build aligned (embeds [B, T_out, C], labels [B, T_out]).
+) -> Tuple[Array, Array, Array]:
+    """Build aligned (embeds [B, T_out, C], labels [B, T_out], off [B]).
 
     ``image_features``: [B, L, C] projected features (zeroed for image-free
     samples, matching the reference's explicit zeroing).
+    ``off`` is the per-sample tail-keep truncation offset: the image span of
+    row b sits at output slots [max_idx - off[b], max_idx - off[b] + L) —
+    consumers that address the span (bidirectional flip) must subtract it.
     All shapes static given ``plan``; pure gather/where — jit/pjit friendly.
     """
     B, T_in = input_ids.shape
@@ -143,4 +146,4 @@ def leftpad_insert(
 
     new_labels = jnp.take_along_axis(labels, j_safe, axis=1)
     new_labels = jnp.where(text_ok, new_labels, IGNORE_INDEX)
-    return emb, new_labels
+    return emb, new_labels, off

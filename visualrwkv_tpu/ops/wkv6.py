@@ -271,6 +271,15 @@ def wkv6(
         # mesh declared but axes don't divide batch/heads: use the chunked
         # jnp impl so GSPMD partitions it instead of replicating an opaque
         # Pallas custom call (see ops.wkv7._spmd_axes)
+        if fn_cv is _wkv6_cv_pallas:
+            import warnings
+
+            warnings.warn(
+                "wkv6: declared mesh axes do not divide batch/heads "
+                f"(B={r.shape[0]}, H={r.shape[2]}); using the chunked jnp "
+                "impl so GSPMD can partition it (the fused Pallas kernel "
+                "would be replicated as an opaque custom call)"
+            )
         return _wkv6_cv_chunked(chunk, r, w_raw, k, v, u, initial_state)
 
     from jax.sharding import PartitionSpec as P

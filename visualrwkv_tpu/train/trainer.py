@@ -71,8 +71,20 @@ def make_train_step(
     """
 
     accum = max(1, cfg.accumulate_grad_batches)
+    leftpad = getattr(vlm_cfg, "insertion_mode", "scatter") == "leftpad"
 
-    def loss_fn(params, micro):
+    def loss_fn(params, micro, plan=None):
+        if leftpad:
+            # v6.0 variable image-token-count mode: plan is batch-static
+            # geometry computed host-side per batch (Trainer.run_epoch); the
+            # step recompiles per distinct plan (T_out is chunk-bucketed to
+            # bound the cache)
+            from visualrwkv_tpu.models.visualrwkv import training_loss_leftpad
+
+            return training_loss_leftpad(
+                params, vlm_cfg, micro["input_ids"], micro["labels"],
+                micro.get("images"), plan=plan, grad_cp=cfg.grad_cp,
+            )
         return training_loss(
             params,
             vlm_cfg,
@@ -82,12 +94,15 @@ def make_train_step(
             grad_cp=cfg.grad_cp,
         )
 
-    def step_fn(state_params, opt_state, step, batch):
+    def step_fn(state_params, opt_state, step, batch, plan=None):
         # clipping stays inside the optimizer chain (clip_by_global_norm_f32)
+        import functools
+
         from visualrwkv_tpu.train.optim import value_and_clipped_grads
 
         loss, grads = value_and_clipped_grads(
-            loss_fn, state_params, batch, accum, grad_clip=0.0
+            functools.partial(loss_fn, plan=plan), state_params, batch, accum,
+            grad_clip=0.0,
         )
 
         if opt_device_shardings is not None:
@@ -104,7 +119,7 @@ def make_train_step(
         new_params = optax.apply_updates(state_params, updates)
         return new_params, new_opt_state, step + 1, loss
 
-    return jax.jit(step_fn, donate_argnums=(0, 1))
+    return jax.jit(step_fn, donate_argnums=(0, 1), static_argnames=("plan",))
 
 
 class Trainer:
@@ -271,15 +286,29 @@ class Trainer:
             # per (batch, head) inside the step — no collectives, and they stay
             # partitioned under both DP (batch on `data`) and TP (heads on
             # `model`) instead of being GSPMD-replicated as opaque custom calls
+            step_kwargs = {}
+            if getattr(self.vlm_cfg, "insertion_mode", "scatter") == "leftpad":
+                from visualrwkv_tpu.multimodal.insertion import leftpad_plan
+
+                step_kwargs["plan"] = leftpad_plan(
+                    np.asarray(batch["input_ids"]),
+                    self.vlm_cfg.num_token_per_image,
+                    self.vlm_cfg.rwkv.ctx_len,
+                )
             with self.mesh, wkv_spmd(self.mesh if self._multi_device else None):
                 device_batch = shard_batch(batch, self.mesh)
                 if self._streamed is not None:
+                    if step_kwargs:
+                        raise NotImplementedError(
+                            "offload_optimizer + insertion_mode='leftpad' is "
+                            "not wired; use the in-jit optimizer"
+                        )
                     params, loss = self._streamed_step(params, device_batch)
                     opt_state = self._streamed.opt_state
                     step = step + 1
                 else:
                     params, opt_state, step, loss = self.train_step(
-                        params, opt_state, step, device_batch
+                        params, opt_state, step, device_batch, **step_kwargs
                     )
             tokens = int(np.prod(batch["input_ids"].shape))
             rates = self.meter.step(batch["input_ids"].shape[0], tokens)
