@@ -1,6 +1,7 @@
 """Tests: answer ranking, converters, data tools, lm loglikelihood/perplexity."""
 
 import json
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -289,3 +290,18 @@ def test_merge_and_split_handle_imageless_records():
     splits = split_long_conversations([long_noimg], max_rounds=2)
     assert len(splits) == 2
     assert all("<image>" not in s["conversations"][0]["value"] for s in splits)
+
+
+def test_zip_subdirs(tmp_path):
+    from visualrwkv_tpu.data.tools import zip_subdirs
+
+    import zipfile
+
+    (tmp_path / "src" / "coco").mkdir(parents=True)
+    (tmp_path / "src" / "coco" / "a.txt").write_text("x")
+    (tmp_path / "src" / "gqa").mkdir()
+    (tmp_path / "src" / "gqa" / "b.txt").write_text("y")
+    outs = zip_subdirs(str(tmp_path / "src"), str(tmp_path / "out"))
+    assert sorted(Path(o).name for o in outs) == ["coco.zip", "gqa.zip"]
+    with zipfile.ZipFile(outs[0]) as z:
+        assert len(z.namelist()) == 1

@@ -389,6 +389,29 @@ def hfds_to_llava_jsonl(
     return n
 
 
+def zip_subdirs(base_dir: str, output_dir: str, workers: int = 4) -> List[str]:
+    """Store-only (uncompressed) zip of each child directory, in parallel
+    (scripts/other/zip_dir.py: zip -q -0 -r per subfolder, 4-process pool).
+    Uses the stdlib so it works without a system zip binary."""
+    import zipfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    base, out_root = Path(base_dir), Path(output_dir)
+    out_root.mkdir(parents=True, exist_ok=True)
+
+    def one(folder: Path) -> str:
+        out = out_root / f"{folder.name}.zip"
+        with zipfile.ZipFile(out, "w", zipfile.ZIP_STORED) as zf:
+            for f in sorted(folder.rglob("*")):
+                if f.is_file():
+                    zf.write(f, f.relative_to(base))
+        return str(out)
+
+    folders = [d for d in base.iterdir() if d.is_dir()]
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        return list(ex.map(one, folders))
+
+
 def _cli(argv=None):
     """python -m visualrwkv_tpu.data.tools <cmd> ... — one entry point for
     the dataset-prep pipeline (the reference's scripts/other/ suite)."""
@@ -424,6 +447,9 @@ def _cli(argv=None):
     s.add_argument("json_files", nargs="+")
     s = sub.add_parser("dup-report")
     s.add_argument("data_file"), s.add_argument("--key", default="id")
+    s = sub.add_parser("zip")
+    s.add_argument("base_dir"), s.add_argument("output_dir")
+    s.add_argument("--workers", type=int, default=4)
     args = p.parse_args(argv)
 
     def dump(obj, path):
@@ -470,6 +496,9 @@ def _cli(argv=None):
         print(json.dumps(dataset_stats(args.json_files), indent=2))
     elif args.cmd == "dup-report":
         print(json.dumps(check_duplicates(args.data_file, key=args.key), indent=2))
+    elif args.cmd == "zip":
+        for f in zip_subdirs(args.base_dir, args.output_dir, workers=args.workers):
+            print(f"zipped {f}")
 
 
 if __name__ == "__main__":
