@@ -252,3 +252,49 @@ def test_score_cli_gqa_detailed(tmp_path, capsys):
     ])
     m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert m["accuracy"] == pytest.approx(100.0)
+
+
+def test_videomme_scorer(tmp_path, capsys):
+    """Video-MME results-format scorer (eval_your_results.py analog):
+    answer-letter extraction incl. prefix stripping, answered-only
+    denominator, per-duration/category/task breakdowns."""
+    from visualrwkv_tpu.evals.metrics.videomme import (
+        evaluate_videomme,
+        extract_answer_letter,
+    )
+
+    assert extract_answer_letter("The best answer is C.") == "C"
+    assert extract_answer_letter("Answer: (B) the dog") == "B"
+    assert extract_answer_letter("word " * 11) == ""  # long, letterless
+    assert extract_answer_letter("I cannot tell from this video "
+                                 "because it is too blurry to see") == ""
+
+    results = [
+        {"duration": "short", "domain": "Knowledge", "sub_category": "Law",
+         "questions": [
+             {"task_type": "OCR Problems", "answer": "A", "response": "A."},
+             {"task_type": "OCR Problems", "answer": "B", "response": "The answer is C"},
+             {"task_type": "Counting Problem", "answer": "D",
+              "response": "no idea " * 12},  # unanswered -> excluded
+         ]},
+        {"duration": "long", "domain": "Life Record", "sub_category": "Travel",
+         "questions": [
+             {"task_type": "Action Reasoning", "answer": "B", "response": "B"},
+         ]},
+    ]
+    m = evaluate_videomme(results)
+    assert m["by_duration"]["short"]["answered"] == 2
+    assert m["by_duration"]["short"]["overall"] == 50.0
+    assert m["by_duration"]["long"]["overall"] == 100.0
+    assert m["overall"] == pytest.approx(100 * 2 / 3)
+    assert m["by_duration"]["short"]["task_types"]["OCR Problems"] == 50.0
+
+    # CLI path
+    import json as _json
+
+    from visualrwkv_tpu.evals.score import main
+
+    f = tmp_path / "res.json"
+    f.write_text(_json.dumps(results))
+    main(["videomme", "--result-file", str(f)])
+    assert "Overall" in capsys.readouterr().out

@@ -215,6 +215,19 @@ def score_exact(args) -> None:
     _emit(m, "Accuracy: {:.2f}%".format(m["accuracy"]))
 
 
+def score_videomme(args) -> None:
+    """Official Video-MME results-format scorer (eval_your_results.py):
+    per-duration accuracy with category/sub-category/task breakdowns."""
+    from visualrwkv_tpu.evals.metrics.videomme import evaluate_videomme
+
+    results = json.load(open(args.result_file))
+    m = evaluate_videomme(results, video_types=args.split or None)
+    for vt, d in m["by_duration"].items():
+        print(f"Video type {vt}: overall {d['overall']:.1f}% "
+              f"({d['correct']}/{d['answered']})")
+    _emit(m, "Overall: {:.1f}%".format(m["overall"]))
+
+
 def run_converter(args) -> None:
     from visualrwkv_tpu.evals import converters as C
 
@@ -248,6 +261,7 @@ TASKS = {
     "mmvet-convert": run_converter,
     "mmbench-convert": run_converter,
     "videomme-convert": run_converter,
+    "videomme": score_videomme,
 }
 
 
