@@ -12,3 +12,4 @@ python -m visualrwkv_tpu.evals.score videomme-convert \
   --result-file "$OUT_DIR/merge.jsonl" \
   --annotation-file "$EVAL_DIR/eval/videomme/Video-MME.json" \
   --output-file "$OUT_DIR/results.json"
+python -m visualrwkv_tpu.evals.score videomme --result-file "$OUT_DIR/results.json"

@@ -6,8 +6,8 @@ calculation tool, and the submission converters):
 
     python -m visualrwkv_tpu.evals.score <task> --result-file R [task flags]
 
-Tasks: textvqa, pope, scienceqa, gqa, mme, interleave, anls (DocVQA /
-ST-VQA / InfographicVQA), exact, and the converters vqav2-convert,
+Tasks: textvqa, pope, scienceqa, gqa, mme, interleave, videomme, anls
+(DocVQA / ST-VQA / InfographicVQA), exact, and the converters vqav2-convert,
 vizwiz-convert, mmbench-convert, mmvet-convert, videomme-convert.
 Prints one JSON line of metrics (and the reference's human-readable line).
 """
