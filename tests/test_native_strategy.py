@@ -78,3 +78,12 @@ def test_make_engine_from_strategy_string():
     # int8 weights materialize as weight_q
     eng2 = make_engine(params, cfg, "cpu fp32i8")
     assert "weight_q" in eng2.params["rwkv"]["head"]
+
+
+def test_parse_strategy_state_tokens():
+    s = parse_strategy("tpu bf16i8 s16")
+    assert s.state_dtype == "bfloat16" and s.state_layout == "head"
+    s = parse_strategy("tpu bf16i8 s16 flat")
+    assert s.state_dtype == "bfloat16" and s.state_layout == "flat" and s.int8_weights
+    s = parse_strategy("tpu bf16 flat")
+    assert s.state_dtype == "float32" and s.state_layout == "flat"
