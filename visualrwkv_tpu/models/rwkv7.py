@@ -312,8 +312,11 @@ def cmix_x070(
     xf = x.astype(jnp.float32)
     xx = _token_shift(xf, shift_state) - xf
     kx = (xf + xx * p["x_k"]).astype(dt)
-    k = jnp.square(jax.nn.relu(linear(p["key"], kx, dt)))
-    out = linear(p["value"], k.astype(dt), dt)
+    # relu^2 in compute dtype (matmul still accumulates fp32): the 4x-wide
+    # key activation is the single largest residual, and the reference's
+    # torch autocast computes this activation in bf16 too
+    k = jnp.square(jax.nn.relu(linear(p["key"], kx, dt).astype(dt)))
+    out = linear(p["value"], k, dt)
     return out, xf[:, -1]
 
 
