@@ -178,3 +178,57 @@ def test_flat_state_layout_decode_matches_head(setup):
 
     with pytest.raises(ValueError):
         InferenceEngine(params, cfg, state_layout="diag")
+
+
+def test_batched_server_matches_engine(setup):
+    """Continuous batching (infer/server.py): greedy per-request outputs must
+    match InferenceEngine.generate exactly, including when requests queue
+    behind a full slot table and are admitted mid-flight."""
+    from visualrwkv_tpu.infer.server import BatchedServer
+
+    cfg, params, engine = setup
+    prompts = [
+        np.array([[11, 22, 33, 44]]),
+        np.array([[7, 8, 9, 10, 11, 12]]),
+        np.array([[100, 200]]),
+    ]
+    budgets = [6, 4, 8]
+    refs = [
+        engine.generate(p, max_new_tokens=n, stop_tokens=(-1,))
+        for p, n in zip(prompts, budgets)
+    ]
+
+    server = BatchedServer(engine, max_batch=2, stop_tokens=(-1,))
+    rids = [server.submit(p, max_new_tokens=n) for p, n in zip(prompts, budgets)]
+    results = server.run()
+    assert set(results) == set(rids)
+    for rid, ref, n in zip(rids, refs, budgets):
+        assert results[rid] == list(ref.tokens[0][:n]), rid
+
+
+def test_batched_server_stop_token_retires_slot(setup):
+    """A slot that emits a stop token retires early and its slot is reused;
+    sampled mode smoke-checks the jitted step with penalties."""
+    from visualrwkv_tpu.infer.sampling import SamplingParams
+    from visualrwkv_tpu.infer.server import BatchedServer
+
+    cfg, params, engine = setup
+    # find the greedy-next token of this prompt and declare it a stop token
+    probe = engine.generate(np.array([[5, 6, 7]]), max_new_tokens=1, stop_tokens=(-1,))
+    stop_tok = int(probe.tokens[0][0])
+    server = BatchedServer(engine, max_batch=1, stop_tokens=(stop_tok,))
+    r1 = server.submit(np.array([[5, 6, 7]]), max_new_tokens=50)
+    r2 = server.submit(np.array([[9, 9, 9]]), max_new_tokens=3)
+    out = server.run()
+    assert out[r1] == [stop_tok]  # retired on the first step, not after 50
+    assert len(out[r2]) <= 3
+
+    sampled = BatchedServer(
+        engine, max_batch=2,
+        sp=SamplingParams(temperature=1.0, top_p=0.7, alpha_presence=0.1,
+                          alpha_frequency=0.1),
+        stop_tokens=(-1,),
+    )
+    rid = sampled.submit(np.array([[1, 2, 3]]), max_new_tokens=4)
+    out = sampled.run()
+    assert len(out[rid]) == 4
