@@ -22,12 +22,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 Params = Any
 
 
-def make_mesh(n_data: Optional[int] = None, n_model: int = 1) -> Mesh:
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              n_seq: int = 1) -> Mesh:
+    """(data, seq, model) mesh; seq is the context-parallel axis
+    (ops.wkv_sp) and defaults to 1 so 2-axis callers are unchanged."""
     devices = jax.devices()
     if n_data is None:
-        n_data = len(devices) // n_model
-    devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
-    return Mesh(devs, ("data", "model"))
+        n_data = len(devices) // (n_model * n_seq)
+    devs = np.asarray(devices[: n_data * n_seq * n_model]).reshape(
+        n_data, n_seq, n_model
+    )
+    return Mesh(devs, ("data", "seq", "model"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
