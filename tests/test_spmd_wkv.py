@@ -189,3 +189,71 @@ def test_wkv7_seq_parallel_gradients_match():
     g_sp = jax.jit(jax.grad(loss_sp))(inputs)
     for i, (a, b) in enumerate(zip(g_sp, g_ref)):
         assert rel_err(a, b) < 1e-4, (i, rel_err(a, b))
+
+
+@pytest.mark.parametrize("grad_cp", [False, True])
+def test_rwkv7_forward_seq_matches_full(grad_cp):
+    """Model-level context parallelism: logits of the seq-sharded forward
+    (token-shift halos + WKV ring) match the single-device forward."""
+    from jax.sharding import PartitionSpec as P
+
+    from visualrwkv_tpu.config import RWKVConfig
+    from visualrwkv_tpu.models import rwkv7
+
+    cfg = RWKVConfig(n_layer=2, n_embd=64, vocab_size=512, head_size=16,
+                     compute_dtype="float32", ctx_len=64, chunk_len=16)
+    params = rwkv7.init_rwkv7_params(jax.random.PRNGKey(0), cfg)
+    mesh = _seq_mesh(4)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 64), 0, 500)
+    x = rwkv7.embed(params, tokens)
+
+    logits_ref, _ = rwkv7.rwkv7_forward(params, cfg, x, grad_cp=grad_cp)
+
+    f = jax.jit(jax.shard_map(
+        lambda p, xx: rwkv7.rwkv7_forward_seq(p, cfg, xx, grad_cp=grad_cp),
+        mesh=mesh, in_specs=(P(), P(None, "seq", None)),
+        out_specs=P(None, "seq", None),
+    ))
+    logits = f(params, x)
+    assert rel_err(logits, logits_ref) < 1e-5
+
+
+@pytest.mark.slow
+def test_rwkv7_forward_seq_gradients_match():
+    """Loss gradients through the context-parallel forward (CE psum'd over
+    shards) match the single-device forward's."""
+    from jax.sharding import PartitionSpec as P
+
+    from visualrwkv_tpu.config import RWKVConfig
+    from visualrwkv_tpu.models import rwkv7
+
+    cfg = RWKVConfig(n_layer=2, n_embd=64, vocab_size=512, head_size=16,
+                     compute_dtype="float32", ctx_len=64, chunk_len=16)
+    params = rwkv7.init_rwkv7_params(jax.random.PRNGKey(0), cfg)
+    mesh = _seq_mesh(4)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 64), 0, 500)
+
+    def loss_ref(p):
+        logits, _ = rwkv7.rwkv7_forward_tokens(p, cfg, tokens, grad_cp=True)
+        return (jax.nn.log_softmax(logits.astype(jnp.float32)) ** 2).mean()
+
+    def shard_loss(p, toks):
+        logits = rwkv7.rwkv7_forward_seq(
+            p, cfg, rwkv7.embed(p, toks), grad_cp=True
+        )
+        # mean over the GLOBAL token axis = psum of shard sums / global count
+        val = (jax.nn.log_softmax(logits.astype(jnp.float32)) ** 2).sum()
+        n = logits.size * jax.lax.axis_size("seq")
+        return jax.lax.psum(val, "seq") / n
+
+    smapped = jax.shard_map(
+        shard_loss, mesh=mesh,
+        in_specs=(P(), P(None, "seq")), out_specs=P(),
+    )
+    g_ref = jax.jit(jax.grad(loss_ref))(params)
+    g_sp = jax.jit(jax.grad(lambda p: smapped(p, tokens)))(params)
+
+    def check(path, a, b):
+        assert rel_err(a, b) < 1e-4, (path, rel_err(a, b))
+
+    jax.tree_util.tree_map_with_path(check, g_sp, g_ref)

@@ -420,6 +420,74 @@ def rwkv7_forward_tokens(
     return rwkv7_forward(params, cfg, embed(params, tokens), states, grad_cp)
 
 
+def rwkv7_forward_seq(
+    params: Params,
+    cfg: RWKVConfig,
+    x: Array,
+    axis: str = "seq",
+    grad_cp: bool = False,
+    return_hidden: bool = False,
+) -> Array:
+    """Context-parallel forward: run INSIDE shard_map with the TOKEN axis
+    sharded over ``axis`` (long-context training; no reference analog).
+
+    Everything in a block is per-token except two couplings across the shard
+    boundary, both handled here: the 1-token shift (a halo exchange of each
+    shard's last post-ln token) and the WKV recurrence (the ring-scan state
+    composition of ops.wkv_sp, dispatched via ops.wkv7.wkv_seq_axis).
+    ``x``: [B, T_local, C] with T_local % chunk_len == 0 (shard boundaries
+    must fall on chunk boundaries). Returns this shard's logits (or hidden).
+    """
+    from visualrwkv_tpu.ops.wkv7 import wkv_seq_axis
+
+    B, T, C = x.shape
+    if T % cfg.chunk_len:
+        raise ValueError(
+            f"seq-parallel shards must be chunk-aligned: T_local={T}, "
+            f"chunk_len={cfg.chunk_len}"
+        )
+    D = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+
+    def halo_last(t):
+        """Left neighbor's last position (the token-shift carry); zeros on
+        shard 0 — identical to the stateless single-device shift."""
+        recv = jax.lax.ppermute(
+            t[:, -1], axis, [(s, (s + 1) % D) for s in range(D)]
+        )
+        return jnp.where(idx == 0, jnp.zeros_like(recv), recv)
+
+    def body(p, xx, vf, i):
+        if i == 0:
+            xx = layer_norm(p["ln0"], xx)
+        xin = layer_norm(p["ln1"], xx)
+        att_shift = halo_last(xin.astype(jnp.float32))
+        yy, vf, _, _ = tmix_x070(p["att"], cfg, i, xin, vf, att_shift, None)
+        xx = xx + yy
+        xin2 = layer_norm(p["ln2"], xx)
+        ffn_shift = halo_last(xin2.astype(jnp.float32))
+        ff, _ = cmix_x070(p["ffn"], cfg, xin2, ffn_shift)
+        return xx + ff, vf
+
+    v_first = None
+    with wkv_seq_axis(axis):
+        for i, blk in enumerate(params["blocks"]):
+            fn = body
+            if grad_cp:
+                fn = jax.checkpoint(
+                    lambda p, xx, vf, i=i: body(p, xx, vf, i),
+                    policy=_remat_policy(grad_cp),
+                )
+                x, v_first = fn(blk, x, v_first)
+            else:
+                x, v_first = body(blk, x, v_first, i)
+
+    x = layer_norm(params["ln_out"], x)
+    if return_hidden:
+        return x
+    return linear(params["head"], x, jnp.dtype(cfg.compute_dtype))
+
+
 # ---------------------------------------------------------------------------
 # Stacked-layer scan forward (compile-time scaling for deep models)
 # ---------------------------------------------------------------------------

@@ -374,6 +374,23 @@ def wkv_spmd(mesh, batch_axis: str = "data", head_axis: str = "model"):
         _WKV_SPMD = prev
 
 
+_WKV_SEQ_AXIS: Optional[str] = None
+
+
+@contextlib.contextmanager
+def wkv_seq_axis(axis: Optional[str]):
+    """Declare that WKV calls traced inside are ALREADY under a shard_map
+    with the T axis sharded over ``axis``: dispatch to the context-parallel
+    ring (ops.wkv_sp) instead of a single-shard recurrence."""
+    global _WKV_SEQ_AXIS
+    prev = _WKV_SEQ_AXIS
+    _WKV_SEQ_AXIS = axis
+    try:
+        yield
+    finally:
+        _WKV_SEQ_AXIS = prev
+
+
 _SPMD_DECLINED = "declined"
 
 
@@ -464,7 +481,17 @@ def wkv7(
     """Entry point used by the models: fully-fused Pallas forward AND backward
     on TPU ("auto"); jnp chunked elsewhere. The implementation choice is made
     at trace time. Under a declared mesh (:func:`set_wkv_spmd`) the call is
-    shard_map-partitioned per (batch, head) with no collectives."""
+    shard_map-partitioned per (batch, head) with no collectives. Under a
+    declared sequence axis (:func:`wkv_seq_axis`, i.e. already INSIDE a
+    shard_map with T sharded) it runs the context-parallel ring
+    (ops.wkv_sp)."""
+    if _WKV_SEQ_AXIS is not None:
+        from visualrwkv_tpu.ops.wkv_sp import wkv7_seq_shard
+
+        return wkv7_seq_shard(
+            r, w_raw, k, v, a, b, initial_state=initial_state, chunk=chunk,
+            axis=_WKV_SEQ_AXIS,
+        )
     T = r.shape[1]
     use_pallas = _IMPL_MODE == "pallas" or (
         _IMPL_MODE == "auto" and jax.default_backend() == "tpu"

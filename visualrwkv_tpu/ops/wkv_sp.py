@@ -39,17 +39,24 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-def _ring_entry_states(call, B, H, N, initial_state, axis: str):
+def _ring_entry_states(call, B, H, N, initial_state, axis: str, ref):
     """Boundary-state relaxation: returns this shard's true entry state.
 
-    ``call(S_in) -> (y, S_out)`` runs the local tokens from ``S_in``.
+    ``call(S_in) -> (y, S_out)`` runs the local tokens from ``S_in``;
+    ``ref`` is any shard-local input, used to read the full set of manual
+    axes the data varies over (constants must match it or scan carries
+    mismatch under multi-axis shard_maps).
     """
     f32 = jnp.float32
     D = jax.lax.axis_size(axis)
     idx = jax.lax.axis_index(axis)
+    target_vma = getattr(jax.typeof(ref), "vma", frozenset()) | {axis}
 
     def vary(x):  # constants must be marked shard-varying for the scan carry
-        return jax.lax.pcast(x, (axis,), to="varying")
+        missing = tuple(sorted(target_vma - getattr(jax.typeof(x), "vma", frozenset())))
+        if not missing:
+            return x
+        return jax.lax.pcast(x, missing, to="varying")
 
     zero = vary(jnp.zeros((B, H, N, N), f32))
     z0 = zero if initial_state is None else vary(initial_state.astype(f32))
@@ -91,14 +98,16 @@ def wkv7_seq_shard(
     Same contract as ops.wkv7.wkv7 on the FULL sequence: returns this
     shard's y slice and the replicated whole-sequence final state.
     """
-    from visualrwkv_tpu.ops.wkv7 import wkv7
+    from visualrwkv_tpu.ops.wkv7 import wkv7, wkv_seq_axis
 
     B, _, H, N = r.shape
 
     def call(S_in):
-        return wkv7(r, w_raw, k, v, a, b, initial_state=S_in, chunk=chunk)
+        # clear the seq dispatch hook: this IS the per-shard local run
+        with wkv_seq_axis(None):
+            return wkv7(r, w_raw, k, v, a, b, initial_state=S_in, chunk=chunk)
 
-    S_in = _ring_entry_states(call, B, H, N, initial_state, axis)
+    S_in = _ring_entry_states(call, B, H, N, initial_state, axis, r)
     y, S_exit = call(S_in)
     return y, _final_state(S_exit, axis)
 
@@ -111,12 +120,14 @@ def wkv6_seq_shard(
     """Shard-local WKV6 under T-axis sharding (diag-decay transition; the
     same identity-probe construction applies)."""
     from visualrwkv_tpu.ops.wkv6 import wkv6
+    from visualrwkv_tpu.ops.wkv7 import wkv_seq_axis
 
     B, _, H, N = r.shape
 
     def call(S_in):
-        return wkv6(r, w_raw, k, v, u, initial_state=S_in, chunk=chunk)
+        with wkv_seq_axis(None):
+            return wkv6(r, w_raw, k, v, u, initial_state=S_in, chunk=chunk)
 
-    S_in = _ring_entry_states(call, B, H, N, initial_state, axis)
+    S_in = _ring_entry_states(call, B, H, N, initial_state, axis, r)
     y, S_exit = call(S_in)
     return y, _final_state(S_exit, axis)
