@@ -421,3 +421,40 @@ def test_trainer_leftpad_insertion_mode():
     assert np.isfinite(loss)
     after = np.asarray(jax.tree_util.tree_leaves(tr.state.params["rwkv"]["blocks"])[0])
     assert not np.array_equal(before, after)
+
+
+def test_trainer_seq_parallel_matches_single_device():
+    """Context-parallel training (mesh seq axis > 1): same losses and
+    near-identical params as the single-device run on a text-only batch."""
+    import dataclasses
+
+    cfg = tiny_vlm_cfg()
+    cfg = cfg.replace(rwkv=dataclasses.replace(cfg.rwkv, ctx_len=64, chunk_len=16))
+    params = init_visualrwkv_params(jax.random.PRNGKey(0), cfg)
+    ids = np.array(jax.random.randint(jax.random.PRNGKey(1), (4, 64), 1, 300))
+    labels = ids.copy()
+    labels[:, :8] = IGNORE_INDEX
+    batch = {"input_ids": ids, "labels": labels}
+
+    out = {}
+    for tag, mesh in (
+        ("single", make_mesh(n_data=1)),
+        ("dp2xsp4", make_mesh(n_data=2, n_seq=4)),
+    ):
+        tcfg = TrainConfig(
+            lr_init=1e-2, lr_final=1e-2, epoch_steps=3, epoch_count=1,
+            micro_bsz=4, grad_cp=True, zero_stage=0, grad_clip=1.0,
+            stacked_layers=False,
+        )
+        tr = Trainer(cfg, tcfg, jax.tree_util.tree_map(jnp.copy, params), mesh=mesh)
+        tr.run_epoch(lambda s: batch, epoch=0)
+        out[tag] = (
+            [h["loss"] for h in tr.history],
+            jax.tree_util.tree_map(np.asarray, tr.state.params["rwkv"]),
+        )
+
+    l_s, p_s = out["single"]
+    l_m, p_m = out["dp2xsp4"]
+    np.testing.assert_allclose(l_m, l_s, rtol=2e-4, atol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p_m), jax.tree_util.tree_leaves(p_s)):
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-5)

@@ -428,6 +428,153 @@ def training_loss_leftpad(
     return _dense_ce_l2wrap(logits, new_labels)
 
 
+# -- sequence-parallel training loss (context parallelism) ------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def chunked_ce_l2wrap_sp(spec, head_w: Array, hidden: Array,
+                         labels_next: Array) -> Array:
+    """Chunked CE + L2Wrap under sequence parallelism. Run INSIDE shard_map.
+
+    ``spec`` = (chunk_t, seq_axis, data_axis): static. ``labels_next`` are
+    PRE-SHIFTED (labels_next[t] targets logits[t]; host shifts so shard
+    boundaries keep label and logit together). Per-sample valid counts and
+    CE sums are psum'd over the seq axis (per-sample normalization spans the
+    GLOBAL sequence); the returned value is the LOCAL batch-row mean — the
+    caller psum-means it over the data axis, and the chain rule makes the
+    CE gradient scaling come out globally correct. The L2Wrap injection is
+    NOT cotangent-scaled (reference semantics), so its 1e-4/(B*T) factor is
+    explicitly computed with the GLOBAL B and T.
+    """
+    loss, _ = _chunked_ce_sp_impl(spec, head_w, hidden, labels_next)
+    return loss
+
+
+def _vary_like(x, ref):
+    """Mark a constant varying over ref's manual axes (shard_map scan-carry
+    vma matching)."""
+    want = getattr(jax.typeof(ref), "vma", frozenset())
+    have = getattr(jax.typeof(x), "vma", frozenset())
+    missing = tuple(sorted(want - have))
+    return jax.lax.pcast(x, missing, to="varying") if missing else x
+
+
+def _chunked_ce_sp_impl(spec, head_w, hidden, labels_next):
+    chunk_t, seq_axis, _ = spec
+    dt = hidden.dtype
+    B, T, C = hidden.shape
+    nc = T // chunk_t
+    h = hidden.reshape(B, nc, chunk_t, C).swapaxes(0, 1)
+    valid = labels_next != IGNORE_INDEX
+    ln = labels_next.reshape(B, nc, chunk_t).swapaxes(0, 1)
+    vl = valid.reshape(B, nc, chunk_t).swapaxes(0, 1)
+
+    def body(carry, xs):
+        ce_sum, cnt = carry
+        s, c = _ce_chunk_stats(head_w, *xs, dt)
+        return (ce_sum + s, cnt + c), None
+
+    (ce_sum, cnt), _ = jax.lax.scan(
+        body,
+        (_vary_like(jnp.zeros((B,), jnp.float32), hidden),
+         _vary_like(jnp.zeros((B,), jnp.int32), hidden)),
+        (h, ln, vl),
+    )
+    ce_sum = jax.lax.psum(ce_sum, seq_axis)  # global per-sample sums
+    cnt = jnp.maximum(jax.lax.psum(cnt, seq_axis), 1)
+    return (ce_sum / cnt).mean(), cnt
+
+
+def _chunked_ce_sp_fwd(spec, head_w, hidden, labels_next):
+    loss, cnt = _chunked_ce_sp_impl(spec, head_w, hidden, labels_next)
+    return loss, (head_w, hidden, labels_next, cnt)
+
+
+def _chunked_ce_sp_bwd(spec, residuals, g):
+    chunk_t, seq_axis, data_axis = spec
+    head_w, hidden, labels_next, cnt = residuals
+    dt = hidden.dtype
+    B, T, C = hidden.shape
+    nc = T // chunk_t
+    V = head_w.shape[-1]
+    h = hidden.reshape(B, nc, chunk_t, C).swapaxes(0, 1)
+    valid = labels_next != IGNORE_INDEX
+    ln = labels_next.reshape(B, nc, chunk_t).swapaxes(0, 1)
+    vl = valid.reshape(B, nc, chunk_t).swapaxes(0, 1)
+    # upstream g already carries the caller's 1/(data_size * B) from the
+    # psum-mean over data rows; cnt is the GLOBAL per-sample count
+    scale = (g / (B * cnt.astype(jnp.float32)))[:, None]
+    B_g = B * jax.lax.axis_size(data_axis)
+    T_g = T * jax.lax.axis_size(seq_axis)
+    l2_factor = 1e-4 / (B_g * T_g)  # reference L2Wrap factor, GLOBAL shapes
+
+    def body(dw_acc, xs):
+        h_c, ln_c, vl_c = xs
+        logits = jnp.matmul(h_c.astype(dt), head_w.astype(dt),
+                            preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(logits, axis=-1)
+        safe = jnp.where(vl_c, ln_c, 0)
+        onehot = jax.nn.one_hot(safe, V, dtype=jnp.float32) * vl_c[..., None]
+        dlogits = (p * vl_c[..., None] - onehot) * scale[:, :, None]
+        maxx = jnp.max(logits, axis=-1, keepdims=True)
+        ids = jnp.argmax(logits, axis=-1)
+        dlogits = dlogits + jax.nn.one_hot(ids, V, dtype=jnp.float32) * (maxx * l2_factor)
+        dl16 = dlogits.astype(dt)
+        dh_c = jnp.matmul(dl16, head_w.astype(dt).T,
+                          preferred_element_type=jnp.float32)
+        dw_c = jnp.matmul(
+            h_c.astype(dt).reshape(-1, C).T, dl16.reshape(-1, V),
+            preferred_element_type=jnp.float32,
+        )
+        return dw_acc + dw_c, dh_c.astype(dt)
+
+    dw, dh = jax.lax.scan(
+        body, _vary_like(jnp.zeros(head_w.shape, jnp.float32), hidden),
+        (h, ln, vl),
+    )
+    dh = dh.swapaxes(0, 1).reshape(B, T, C)
+    # params are replicated across shards: their cotangents must be psum'd
+    # over BOTH manual axes (shard_map only auto-psums for out_specs)
+    _, seq_axis2, data_axis2 = spec
+    dw = jax.lax.psum(jax.lax.psum(dw, seq_axis2), data_axis2)
+    return dw.astype(head_w.dtype), dh.astype(hidden.dtype), None
+
+
+chunked_ce_l2wrap_sp.defvjp(_chunked_ce_sp_fwd, _chunked_ce_sp_bwd)
+
+
+def training_loss_seq(
+    params: Params,
+    cfg: VLMConfig,
+    input_ids: Array,
+    labels_next: Array,
+    grad_cp: bool = True,
+    ce_chunk_t: int = 128,
+    seq_axis: str = "seq",
+    data_axis: str = "data",
+) -> Array:
+    """Text-only training loss under context parallelism (run INSIDE
+    shard_map over (data, seq); tokens sharded on BOTH batch and T).
+
+    ``labels_next`` must be pre-shifted on host (labels_next[t] targets
+    logits[t]) so the shard boundary keeps each logit with its label.
+    Returns the replicated global loss (psum-mean over the data axis).
+    """
+    from visualrwkv_tpu.models import rwkv7 as m7
+
+    rcfg = cfg.rwkv
+    hidden = m7.rwkv7_forward_seq(
+        params["rwkv"], rcfg, m7.embed(params["rwkv"], input_ids),
+        axis=seq_axis, grad_cp=grad_cp, return_hidden=True,
+    )
+    chunk = ce_chunk_t if input_ids.shape[1] % ce_chunk_t == 0 else input_ids.shape[1]
+    local = chunked_ce_l2wrap_sp(
+        (chunk, seq_axis, data_axis),
+        params["rwkv"]["head"]["weight"], hidden, labels_next,
+    )
+    return jax.lax.psum(local, data_axis) / jax.lax.axis_size(data_axis)
+
+
 def training_loss(
     params: Params,
     cfg: VLMConfig,

@@ -54,14 +54,19 @@ def shard_batch(batch, mesh: Mesh):
     the reference's per-rank DataLoader under DeepSpeed DP.
     """
     sh = batch_sharding(mesh)
+    # context parallelism: 2-D [B, T] token/label arrays also shard T over
+    # the seq axis (other leaves — images etc. — stay batch-sharded only)
+    sh_seq = NamedSharding(mesh, P("data", "seq"))
+    seq_par = mesh.shape.get("seq", 1) > 1
     multiproc = jax.process_count() > 1
 
     def put(x):
         if not (hasattr(x, "ndim") and x.ndim >= 1):
             return x
+        s = sh_seq if (seq_par and x.ndim == 2) else sh
         if multiproc:
-            return jax.make_array_from_process_local_data(sh, np.asarray(x))
-        return jax.device_put(x, sh)
+            return jax.make_array_from_process_local_data(s, np.asarray(x))
+        return jax.device_put(x, s)
 
     return jax.tree_util.tree_map(put, batch)
 

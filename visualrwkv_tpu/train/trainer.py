@@ -72,8 +72,35 @@ def make_train_step(
 
     accum = max(1, cfg.accumulate_grad_batches)
     leftpad = getattr(vlm_cfg, "insertion_mode", "scatter") == "leftpad"
+    seq_par = mesh is not None and mesh.shape.get("seq", 1) > 1
+    if seq_par:
+        # context parallelism: tokens sharded on T; the loss runs under an
+        # explicit shard_map (halo token-shift + WKV ring need manual axes).
+        # run_epoch pre-shifts labels so shard boundaries keep logit+label
+        # together. Text-only (image scatter would cross shard boundaries).
+        from jax.sharding import PartitionSpec as P
+
+        from visualrwkv_tpu.models.visualrwkv import training_loss_seq
+
+        if mesh.shape.get("model", 1) > 1:
+            raise NotImplementedError("seq parallel + tensor parallel is not wired")
+        _seq_loss = jax.shard_map(
+            lambda p, ids, lbl: training_loss_seq(
+                p, vlm_cfg, ids, lbl, grad_cp=cfg.grad_cp
+            ),
+            mesh=mesh,
+            in_specs=(P(), P("data", "seq"), P("data", "seq")),
+            out_specs=P(),
+        )
 
     def loss_fn(params, micro, plan=None):
+        if seq_par:
+            if micro.get("images") is not None:
+                raise NotImplementedError(
+                    "sequence-parallel training is text-only (the image "
+                    "scatter would cross shard boundaries)"
+                )
+            return _seq_loss(params, micro["input_ids"], micro["labels"])
         if leftpad:
             # v6.0 variable image-token-count mode: plan is batch-static
             # geometry computed host-side per batch (Trainer.run_epoch); the
@@ -169,6 +196,7 @@ class Trainer:
             train_cfg.stacked_layers
             and vlm_cfg.rwkv.version == "x070"
             and self.mesh.shape.get("model", 1) == 1
+            and self.mesh.shape.get("seq", 1) == 1  # forward_seq is list-only
             and not getattr(vlm_cfg, "bidirectional_image", False)
             and vlm_cfg.rwkv.n_layer >= 2
         )
@@ -282,6 +310,18 @@ class Trainer:
                 for k, v in batch.items()
                 if k in ("input_ids", "labels", "images")
             }
+            if self.mesh.shape.get("seq", 1) > 1:
+                # context parallelism: pre-shift labels on host so each
+                # shard holds its own logits' targets (labels_next[t] =
+                # labels[t+1]); see models.visualrwkv.training_loss_seq
+                from visualrwkv_tpu.data.conversation import IGNORE_INDEX
+
+                lbl = np.asarray(batch["labels"])
+                batch["labels"] = np.concatenate(
+                    [lbl[:, 1:],
+                     np.full((lbl.shape[0], 1), IGNORE_INDEX, lbl.dtype)],
+                    axis=1,
+                )
             # wkv_spmd: the fused Pallas WKV kernels are shard_map-partitioned
             # per (batch, head) inside the step — no collectives, and they stay
             # partitioned under both DP (batch on `data`) and TP (heads on
@@ -295,7 +335,15 @@ class Trainer:
                     self.vlm_cfg.num_token_per_image,
                     self.vlm_cfg.rwkv.ctx_len,
                 )
-            with self.mesh, wkv_spmd(self.mesh if self._multi_device else None):
+            # under context parallelism the step already runs inside an
+            # explicit shard_map (manual axes) — a nested wkv_spmd shard_map
+            # over the same mesh is both unnecessary and rejected by JAX
+            spmd_mesh = (
+                self.mesh
+                if self._multi_device and self.mesh.shape.get("seq", 1) == 1
+                else None
+            )
+            with self.mesh, wkv_spmd(spmd_mesh):
                 device_batch = shard_batch(batch, self.mesh)
                 if self._streamed is not None:
                     if step_kwargs:
