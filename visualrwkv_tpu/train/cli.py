@@ -59,6 +59,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--freeze_proj", default=0, type=int)
     p.add_argument("--zero_stage", default=1, type=int)
     p.add_argument("--n_data", default=None, type=int, help="data-parallel mesh size")
+    p.add_argument("--n_seq", default=1, type=int,
+                   help="context-parallel mesh size (tokens sharded on T; "
+                        "text-only training, see ops/wkv_sp.py)")
     # multi-host (reference train.py:75 --num_nodes under DeepSpeed DP):
     # every host runs this same CLI; jax.distributed joins them and each
     # host feeds its process-local slice of the global batch
@@ -218,7 +221,7 @@ def main(argv=None):
         )
         logging.info("loaded RWKV weights from %s", args.model_path)
 
-    mesh = make_mesh(n_data=args.n_data)
+    mesh = make_mesh(n_data=args.n_data, n_seq=args.n_seq)
     trainer = Trainer(vlm_cfg, tcfg, params, mesh=mesh, proj_dir=args.proj_dir, log_every=1)
     del params  # the fp32 init tree must not outlive the trainer's cast copy
     # (at 1B5 a lingering caller reference holds ~6 GB of HBM for the run)
