@@ -80,13 +80,24 @@ def wkv7_step(
     f32 = jnp.float32
     r, k, v, a, b = (x.astype(f32) for x in (r, k, v, a, b))
     w = jnp.exp(-jnp.exp(w_raw.astype(f32)))
-    sa = jnp.einsum("...ij,...j->...i", state, a)
+    # y expanded against the OLD state:
+    #   y = S'r = (S diag(w) + (Sa) b^T + v k^T) r
+    #     = S(w*r) + (Sa)(b.r) + v(k.r)
+    # so both matvecs batch into ONE contraction over S — decode at batch is
+    # state-bandwidth-bound and this saves one of the naive form's passes
+    probes = jnp.stack([a, w * r], axis=-1)  # [..., H, N, 2]
+    two = jnp.einsum("...ij,...jc->...ic", state, probes)
+    sa, swr = two[..., 0], two[..., 1]
+    y = (
+        swr
+        + sa * jnp.sum(b * r, axis=-1, keepdims=True)
+        + v * jnp.sum(k * r, axis=-1, keepdims=True)
+    )
     state = (
         state * w[..., None, :]
         + sa[..., :, None] * b[..., None, :]
         + v[..., :, None] * k[..., None, :]
     )
-    y = jnp.einsum("...ij,...j->...i", state, r)
     return state, y
 
 
@@ -117,13 +128,20 @@ def wkv7_step_flat(
     r, k, v, a, b = (x.astype(f32) for x in (r, k, v, a, b))  # [B, H, N]
     w = jnp.exp(-jnp.exp(w_raw.astype(f32)))
     s4 = state.astype(f32).reshape(B, N, H, N)  # [B, i, H, j] fused view
+    # y from the OLD state (see wkv7_step): both reductions share one pass
     sa = (s4 * a[:, None]).sum(-1)  # [B, i, H]
+    swr = (s4 * (w * r)[:, None]).sum(-1)
+    y = (
+        swr
+        + sa * jnp.sum(b * r, axis=-1)[:, None]
+        + jnp.swapaxes(v, 1, 2) * jnp.sum(k * r, axis=-1)[:, None]
+    )
+    y = jnp.swapaxes(y, 1, 2)  # [B, H, i]
     s4 = (
         s4 * w[:, None]
         + sa[..., None] * b[:, None]
         + jnp.swapaxes(v, 1, 2)[..., None] * k[:, None]
     )
-    y = jnp.swapaxes((s4 * r[:, None]).sum(-1), 1, 2)  # [B, H, i]
     return s4.reshape(B, N, HN).astype(state.dtype), y.astype(out_dtype)
 
 
