@@ -113,13 +113,13 @@ def wkv7_step_flat(
     flat layout folds (head, key) into one ``H*64``-lane minor dimension with
     zero padding. Same math as :func:`wkv7_step`, carried dtype preserved.
 
-    MEASURED (v5e, 1B5 int8, B=32, tok/s): flat+fp32 4729 vs head+fp32 4452
-    (+6%), but flat+bf16 4861 vs head+bf16 6703 (-27%): XLA does not fuse the
-    reshaped [B, N, H, N] view's update + two minor-dim reductions into the
-    flat carry — the padded fp32 intermediates it materializes outweigh the
-    padding saved. The serving default therefore stays the canonical layout
-    with the bf16 carry ("s16"); "flat" remains available for fp32-state
-    configs. Negative result kept documented (PROGRESS.md ledger).
+    MEASURED (v5e, 1B5 int8, B=32, tok/s; y-from-old-state formulation):
+    flat+fp32 5276 vs head+fp32 5232 (parity), flat+bf16 5458 vs head+bf16
+    7209 (-24%): XLA does not fuse the reshaped [B, N, H, N] view's update +
+    reductions into the flat carry — the padded fp32 intermediates it
+    materializes outweigh the padding saved. The serving default therefore
+    stays the canonical layout with the bf16 carry ("s16"); "flat" remains a
+    config option. Negative result kept documented (PROGRESS.md ledger).
     """
     B, N, HN = state.shape
     H = HN // N
