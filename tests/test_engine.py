@@ -232,3 +232,36 @@ def test_batched_server_stop_token_retires_slot(setup):
     rid = sampled.submit(np.array([[1, 2, 3]]), max_new_tokens=4)
     out = sampled.run()
     assert len(out[rid]) == 4
+
+
+def test_batched_server_honors_state_config(setup):
+    """Regression: the server must apply the engine's serving state config
+    (bf16 carry, flat layout) to its decode carry — previously the flags
+    were silently ignored — and a lazy image callable loads at admission."""
+    from visualrwkv_tpu.infer.server import BatchedServer
+
+    cfg, params, engine = setup
+    ref = engine.generate(np.array([[3, 4, 5]]), max_new_tokens=5, stop_tokens=(-1,))
+
+    eng = InferenceEngine(params, cfg, state_dtype="bfloat16", state_layout="flat")
+    server = BatchedServer(eng, max_batch=2, stop_tokens=(-1,))
+    assert server._states[0].wkv.dtype == jnp.bfloat16
+    assert server._states[0].wkv.ndim == 3  # flat [B, N, H*N]
+    rid = server.submit(np.array([[3, 4, 5]]), max_new_tokens=5)
+    out = server.run()
+    assert out[rid] == list(ref.tokens[0][:5])
+
+    # lazy images: the callable runs at admission, not submit
+    calls = []
+
+    def loader():
+        calls.append(1)
+        return {"dino": np.zeros((1, 16, 16, 3), np.uint8)}
+
+    rid2 = server.submit(np.array([[9, 9]]), images=loader, max_new_tokens=2)
+    assert not calls  # not loaded yet
+    server.run()
+    assert calls == [1]
+
+    with pytest.raises(ValueError, match="ONE request"):
+        server.submit(np.array([[1, 2], [3, 4]]))

@@ -297,4 +297,7 @@ def test_videomme_scorer(tmp_path, capsys):
     f = tmp_path / "res.json"
     f.write_text(_json.dumps(results))
     main(["videomme", "--result-file", str(f)])
-    assert "Overall" in capsys.readouterr().out
+    out = capsys.readouterr().out
+    # regression: the default run must score ALL durations (a stray --split
+    # default once made this 0.0% with zero answered)
+    assert "Overall: 66.7%" in out, out

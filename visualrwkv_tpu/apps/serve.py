@@ -73,10 +73,13 @@ def main(argv=None):
                         else cfg.vision.image_size)
                     for t in cfg.vision.towers
                 }
-                img = load_image_uint8(
-                    str(Path(args.image_folder) / rec["image"]), sizes
-                )
-                images = {t: v[None] for t, v in img.items()}
+                path = str(Path(args.image_folder) / rec["image"])
+
+                # lazy: the server loads at slot admission, so a huge request
+                # file never pins more than ~max_batch decoded images
+                def images(path=path, sizes=sizes):
+                    img = load_image_uint8(path, sizes)
+                    return {t: v[None] for t, v in img.items()}
             prompt = GEN_PROMPT.format(instruction=rec["text"].strip())
             ids = np.asarray([tok.encode(prompt)])
             rid = server.submit(

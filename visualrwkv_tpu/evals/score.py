@@ -221,7 +221,9 @@ def score_videomme(args) -> None:
     from visualrwkv_tpu.evals.metrics.videomme import evaluate_videomme
 
     results = json.load(open(args.result_file))
-    m = evaluate_videomme(results, video_types=args.split or None)
+    # NOTE: --split is the ScienceQA flag (default "test") — Video-MME uses
+    # its own --video-types so the default scores ALL durations
+    m = evaluate_videomme(results, video_types=args.video_types or None)
     for vt, d in m["by_duration"].items():
         print(f"Video type {vt}: overall {d['overall']:.1f}% "
               f"({d['correct']}/{d['answered']})")
@@ -275,6 +277,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--gqa-questions-json", default="")
     p.add_argument("--base-dir", default="")
     p.add_argument("--split", default="test")
+    p.add_argument("--video-types", default="",
+                   help="videomme: comma-sep durations (default: all)")
     p.add_argument("--output-file", default="")
     p.add_argument("--output-result", default="")
     return p

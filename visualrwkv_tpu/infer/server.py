@@ -81,7 +81,7 @@ class BatchedServer:
         B = max_batch
         rcfg = self.cfg.rwkv
         V = rcfg.vocab_size
-        self._states = rwkv7.init_state(rcfg, B)
+        self._states = self._to_carry(rwkv7.init_state(rcfg, B))
         self._logits = jnp.zeros((B, V), jnp.float32)
         self._occurrence = jnp.zeros((B, V), jnp.float32)
         # inactive slots decode garbage into a masked lane; active flags are
@@ -119,14 +119,39 @@ class BatchedServer:
 
         self._insert = jax.jit(insert)
 
+    def _to_carry(self, states):
+        """Apply the engine's serving state config (bf16 carry / flat layout)
+        to a freshly built or prefilled state list — the engine only does
+        this inside its own generate(), so the server mirrors it here."""
+        if self.engine.state_layout == "flat":
+            from visualrwkv_tpu.ops.wkv7 import state_to_flat
+
+            states = [s._replace(wkv=state_to_flat(s.wkv)) for s in states]
+        if self.engine.state_dtype != jnp.float32:
+            states = [
+                s._replace(wkv=s.wkv.astype(self.engine.state_dtype))
+                for s in states
+            ]
+        return states
+
     # -- client API ----------------------------------------------------------
 
-    def submit(self, input_ids, images: Optional[Dict[str, Any]] = None,
+    def submit(self, input_ids, images: Optional[Any] = None,
                max_new_tokens: int = 128) -> int:
+        """Queue one request. ``images`` may be a per-tower dict or a
+        ZERO-ARG CALLABLE returning one (lazy loading: large request files
+        should not pin every decoded image in host memory — the loader runs
+        at slot admission, bounding live images to ~max_batch)."""
+        ids = np.asarray(input_ids)
+        if ids.ndim == 2 and ids.shape[0] != 1:
+            raise ValueError(
+                f"submit() takes ONE request (got batch shape {ids.shape}); "
+                "call it once per request — batching is the server's job"
+            )
         rid = self._next_id
         self._next_id += 1
         self._queue.append(_Request(
-            request_id=rid, input_ids=np.asarray(input_ids).reshape(1, -1),
+            request_id=rid, input_ids=ids.reshape(1, -1),
             images=images, max_new_tokens=max_new_tokens,
         ))
         return rid
@@ -143,9 +168,11 @@ class BatchedServer:
             if self._slots[slot] is not None or not self._queue:
                 continue
             req = self._queue.popleft()
+            images = req.images() if callable(req.images) else req.images
             first_logits, states = self.engine.prefill_ids(
-                req.input_ids, req.images
+                req.input_ids, images
             )
+            states = self._to_carry(states)
             self._states, self._logits, self._occurrence = self._insert(
                 self._states, self._logits, self._occurrence,
                 states, first_logits, jnp.asarray(slot),

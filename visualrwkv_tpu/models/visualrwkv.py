@@ -450,13 +450,7 @@ def chunked_ce_l2wrap_sp(spec, head_w: Array, hidden: Array,
     return loss
 
 
-def _vary_like(x, ref):
-    """Mark a constant varying over ref's manual axes (shard_map scan-carry
-    vma matching)."""
-    want = getattr(jax.typeof(ref), "vma", frozenset())
-    have = getattr(jax.typeof(x), "vma", frozenset())
-    missing = tuple(sorted(want - have))
-    return jax.lax.pcast(x, missing, to="varying") if missing else x
+from visualrwkv_tpu.ops.wkv_sp import vary_to_match as _vary
 
 
 def _chunked_ce_sp_impl(spec, head_w, hidden, labels_next):
@@ -476,8 +470,8 @@ def _chunked_ce_sp_impl(spec, head_w, hidden, labels_next):
 
     (ce_sum, cnt), _ = jax.lax.scan(
         body,
-        (_vary_like(jnp.zeros((B,), jnp.float32), hidden),
-         _vary_like(jnp.zeros((B,), jnp.int32), hidden)),
+        (_vary(jnp.zeros((B,), jnp.float32), hidden),
+         _vary(jnp.zeros((B,), jnp.int32), hidden)),
         (h, ln, vl),
     )
     ce_sum = jax.lax.psum(ce_sum, seq_axis)  # global per-sample sums
@@ -529,14 +523,13 @@ def _chunked_ce_sp_bwd(spec, residuals, g):
         return dw_acc + dw_c, dh_c.astype(dt)
 
     dw, dh = jax.lax.scan(
-        body, _vary_like(jnp.zeros(head_w.shape, jnp.float32), hidden),
+        body, _vary(jnp.zeros(head_w.shape, jnp.float32), hidden),
         (h, ln, vl),
     )
     dh = dh.swapaxes(0, 1).reshape(B, T, C)
     # params are replicated across shards: their cotangents must be psum'd
     # over BOTH manual axes (shard_map only auto-psums for out_specs)
-    _, seq_axis2, data_axis2 = spec
-    dw = jax.lax.psum(jax.lax.psum(dw, seq_axis2), data_axis2)
+    dw = jax.lax.psum(dw, (seq_axis, data_axis))
     return dw.astype(head_w.dtype), dh.astype(hidden.dtype), None
 
 

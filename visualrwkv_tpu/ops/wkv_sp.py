@@ -39,6 +39,16 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+def vary_to_match(x: Array, ref, extra_axes=()) -> Array:
+    """Mark ``x`` varying over ref's manual axes (plus ``extra_axes``):
+    shard_map requires scan carries / where-branches built from constants to
+    match the varying-manual-axes of data-derived values."""
+    want = getattr(jax.typeof(ref), "vma", frozenset()) | set(extra_axes)
+    have = getattr(jax.typeof(x), "vma", frozenset())
+    missing = tuple(sorted(want - have))
+    return jax.lax.pcast(x, missing, to="varying") if missing else x
+
+
 def _ring_entry_states(call, B, H, N, initial_state, axis: str, ref):
     """Boundary-state relaxation: returns this shard's true entry state.
 
@@ -50,13 +60,9 @@ def _ring_entry_states(call, B, H, N, initial_state, axis: str, ref):
     f32 = jnp.float32
     D = jax.lax.axis_size(axis)
     idx = jax.lax.axis_index(axis)
-    target_vma = getattr(jax.typeof(ref), "vma", frozenset()) | {axis}
 
-    def vary(x):  # constants must be marked shard-varying for the scan carry
-        missing = tuple(sorted(target_vma - getattr(jax.typeof(x), "vma", frozenset())))
-        if not missing:
-            return x
-        return jax.lax.pcast(x, missing, to="varying")
+    def vary(x):
+        return vary_to_match(x, ref, extra_axes=(axis,))
 
     zero = vary(jnp.zeros((B, H, N, N), f32))
     z0 = zero if initial_state is None else vary(initial_state.astype(f32))
