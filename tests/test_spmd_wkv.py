@@ -191,7 +191,9 @@ def test_wkv7_seq_parallel_gradients_match():
         assert rel_err(a, b) < 1e-4, (i, rel_err(a, b))
 
 
-@pytest.mark.parametrize("grad_cp", [False, True])
+@pytest.mark.parametrize(
+    "grad_cp", [False, pytest.param(True, marks=pytest.mark.slow)]
+)
 def test_rwkv7_forward_seq_matches_full(grad_cp):
     """Model-level context parallelism: logits of the seq-sharded forward
     (token-shift halos + WKV ring) match the single-device forward."""

@@ -392,6 +392,7 @@ def test_stacked_partial_freeze_matches_list():
         assert moved > 0  # unfrozen layers trained
 
 
+@pytest.mark.slow
 def test_trainer_leftpad_insertion_mode():
     """insertion_mode='leftpad' must actually train through the Trainer (the
     flag previously selected nothing): finite decreasing-capable loss, params
@@ -423,6 +424,7 @@ def test_trainer_leftpad_insertion_mode():
     assert not np.array_equal(before, after)
 
 
+@pytest.mark.slow
 def test_trainer_seq_parallel_matches_single_device():
     """Context-parallel training (mesh seq axis > 1): same losses and
     near-identical params as the single-device run on a text-only batch."""
