@@ -7,6 +7,7 @@ the timm/vendored layout, and requiring identical imported trees."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from visualrwkv_tpu.convert.pth_import import (
     export_rwkv_state_dict,
@@ -146,6 +147,7 @@ def test_sam_vendored_sequential_neck():
     assert len(bare["blocks"]) == 2
 
 
+@pytest.mark.slow
 def test_combined_checkpoint_roundtrip_forward():
     """Synthetic combined checkpoint (reference key layout) -> import ->
     vlm_forward produces finite logits."""

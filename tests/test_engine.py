@@ -71,6 +71,7 @@ def test_stop_token_masks_tail(setup):
     assert all(int(t) == 261 for t in res.tokens[0][3:])
 
 
+@pytest.mark.slow
 def test_multi_round_state_chaining(setup):
     cfg, params, engine = setup
     full = np.array([[11, 22, 33, 44, 55, 66]])
@@ -83,6 +84,7 @@ def test_multi_round_state_chaining(setup):
     )
 
 
+@pytest.mark.slow
 def test_image_state_cache(setup):
     cfg, params, engine = setup
     images = {"dino": np.zeros((1, 16, 16, 3), np.uint8)}
@@ -161,6 +163,7 @@ def test_batch_sharded_decode_on_mesh(setup):
     np.testing.assert_array_equal(got.tokens, ref.tokens)
 
 
+@pytest.mark.slow
 def test_flat_state_layout_decode_matches_head(setup):
     """state_layout="flat" (lane-flat [B, 64, H*64] decode carry — no TPU
     64->128 lane padding, halves decode state traffic) must produce the same
@@ -206,6 +209,7 @@ def test_batched_server_matches_engine(setup):
         assert results[rid] == list(ref.tokens[0][:n]), rid
 
 
+@pytest.mark.slow
 def test_batched_server_stop_token_retires_slot(setup):
     """A slot that emits a stop token retires early and its slot is reused;
     sampled mode smoke-checks the jitted step with penalties."""
@@ -234,6 +238,7 @@ def test_batched_server_stop_token_retires_slot(setup):
     assert len(out[rid]) == 4
 
 
+@pytest.mark.slow
 def test_batched_server_honors_state_config(setup):
     """Regression: the server must apply the engine's serving state config
     (bf16 carry, flat layout) to its decode carry — previously the flags

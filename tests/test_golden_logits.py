@@ -11,6 +11,7 @@ Regenerate after an INTENTIONAL change with:
     python tests/test_golden_logits.py --regen
 """
 
+import pytest
 import os
 
 import jax
@@ -80,6 +81,7 @@ def _forward_through_converter(cfg, params, ids, images):
     return np.asarray(logits.astype(jnp.float32))
 
 
+@pytest.mark.slow
 def test_converter_forward_matches_golden():
     cfg, params, ids, images = _build()
     logits = _forward_through_converter(cfg, params, ids, images)

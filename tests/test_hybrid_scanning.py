@@ -67,6 +67,7 @@ def test_cross_attention_block_zero_init_is_identity_plus(cfg):
     assert float(jnp.abs(out2 - x).max()) > 1e-3
 
 
+@pytest.mark.slow
 def test_hybrid_rwkv_forward(cfg):
     params = init_hybrid_rwkv_params(jax.random.PRNGKey(0), cfg, n_cross_layer=1)
     # make cross output visible

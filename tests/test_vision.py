@@ -72,6 +72,7 @@ def test_dinov2_reg_parity():
     assert rel_err(feats, ref) < 2e-5
 
 
+@pytest.mark.slow
 def test_clip_parity():
     from transformers import CLIPVisionConfig, CLIPVisionModel
 
