@@ -82,14 +82,15 @@ def test_bf16_stability_adversarial():
 
 
 def test_dispatch_chunk_is_capped():
-    """The auto dispatcher must not select chunks > 32 (numerically unsafe on
-    trained bf16 activations)."""
+    """The auto dispatcher must not select chunks > 16: 32 NaN'd real training
+    after one optimizer step (see tests/test_wkv7_stability.py, which also
+    asserts the cap behaviorally)."""
     import importlib
     import inspect
 
     mod = importlib.import_module("visualrwkv_tpu.ops.wkv7")
     src = inspect.getsource(mod.wkv7)
-    assert "(32, 16)" in src
+    assert "(16, 8, 4)" in src
 
 
 def test_step_kernel_matches_jnp_step():

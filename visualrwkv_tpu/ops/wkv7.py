@@ -516,11 +516,19 @@ def wkv7(
     )
     fn_cv, eff_chunk = _wkv7_cv_chunked, chunk
     if use_pallas:
-        # chunk capped at 32: the forward-substitution matrix amplifies input
-        # rounding ~prod(1+|m|) over the chunk; >=64 produced inf/garbage on
-        # real (trained) bf16 activations (see wkv7_pallas stability note)
-        for c in (32, 16):
-            if T % c == 0:
+        # chunk capped at 16: the forward-substitution matrix amplifies input
+        # rounding ~prod(1+|m|) over the chunk. 32 survived random-init and
+        # real trained-checkpoint activations, but NaN'd after ONE Adam step
+        # (sign-like updates leave k near-constant over t, so |m| ~= a_gate
+        # with decay ~= 1 and the explicit (I-M)^{-1} entries reach
+        # ~(1+a)^(L-1); the fp32 cancellation error then compounds chunk over
+        # chunk to inf by T~1.5k). 16 is ~10x the bf16 input-rounding floor on
+        # that worst case and trains stably; see tests/test_wkv7_stability.py.
+        # A SMALLER caller chunk is honored: cfg.chunk_len=8 hardens against
+        # the remaining (adversarial sign-alternating-kk) envelope at a
+        # measured ~16% train-step cost.
+        for c in (16, 8, 4):
+            if c <= chunk and T % c == 0:
                 fn_cv, eff_chunk = _wkv7_cv_pallas, c
                 break
 

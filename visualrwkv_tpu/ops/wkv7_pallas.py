@@ -28,7 +28,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-DEFAULT_CHUNK = 64
+# 16 matches the dispatcher's stability cap (ops/wkv7.py): larger chunks
+# amplify bf16 input rounding through the (I-M)^{-1} solve — 32 NaN'd real
+# training (see tests/test_wkv7_stability.py). Callers wanting speed over
+# safety must opt in explicitly.
+DEFAULT_CHUNK = 16
 
 
 def _tri_inverse(m_strict: Array, L: int) -> Array:
@@ -117,7 +121,9 @@ def _wkv7_kernel(init_ref, r_ref, w_ref, k_ref, v_ref, a_ref, b_ref,
     # cancellation-sensitive: rounding in M is amplified ~prod(1+|m|) over the
     # chunk. M/T/U therefore stay fp32 (a_t32/bk from pre-cast values); only
     # the bounded output/state dots use bf16 operands. Even in fp32, chunks
-    # beyond 32 can amplify bf16 INPUT rounding — the dispatcher caps at 32.
+    # beyond 16 can amplify bf16 INPUT rounding into garbage when k is
+    # near-constant over the chunk (|m| ~= a_gate, decay ~= 1 — exactly the
+    # post-first-optimizer-step regime) — the dispatcher caps at 16.
     a_t32 = a * jnp.exp(g_prev)
     b_h32 = b * jnp.exp(-g)
     k_h32 = k * jnp.exp(-g)

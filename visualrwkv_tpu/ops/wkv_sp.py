@@ -96,7 +96,7 @@ def _final_state(S_exit, axis: str):
 
 def wkv7_seq_shard(
     r: Array, w_raw: Array, k: Array, v: Array, a: Array, b: Array,
-    initial_state: Optional[Array] = None, chunk: int = 32,
+    initial_state: Optional[Array] = None, chunk: int = 16,
     axis: str = "seq",
 ) -> Tuple[Array, Array]:
     """Shard-local WKV7 under T-axis sharding (run inside shard_map).
