@@ -123,3 +123,33 @@ def test_first_optimizer_step_regime_stays_finite():
     y = np.asarray(y, np.float32)
     assert np.isfinite(y).all()
     assert np.abs(y - ref).max() / scale < 0.1
+
+
+def test_first_optimizer_step_regime_gradients_finite():
+    """The fused backward shares the forward's tri-solve formulation; the
+    training fix is only complete if gradients ALSO stay finite at the capped
+    chunk in the post-step-1 regime."""
+    rng = np.random.default_rng(2)
+    T, H, N = 128, 2, 64
+    base = rng.normal(size=(H, N))
+    k_feat = base[None, None] + 0.15 * rng.normal(size=(1, T, H, N))
+    kk = k_feat / np.linalg.norm(k_feat, axis=-1, keepdims=True)
+    kk = kk * np.where(rng.random((1, T, 1, 1)) < 0.35, -1.0, 1.0)
+    r = rng.normal(size=(1, T, H, N)) * 0.5
+    v = rng.normal(size=(1, T, H, N)) * 0.5
+    k = rng.normal(size=(1, T, H, N)) * 0.05
+    w_raw = np.full((1, T, H, N), -6.0)
+    args = _as((r, w_raw, k, v, -kk, kk * 0.85), jnp.bfloat16)
+
+    def loss(*xs):
+        y, s = w7.wkv7(*xs, chunk=16)
+        return jnp.sum(y.astype(jnp.float32) ** 2) + jnp.sum(s**2)
+
+    w7.set_wkv_impl("pallas")
+    try:
+        grads = jax.grad(loss, argnums=tuple(range(6)))(*args)
+    finally:
+        w7.set_wkv_impl("auto")
+    for i, g in enumerate(grads):
+        ga = np.asarray(g, np.float32)
+        assert np.isfinite(ga).all(), f"grad {i} not finite"
