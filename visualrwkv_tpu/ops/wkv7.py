@@ -262,6 +262,12 @@ def wkv7_chunked(
     Same signature/semantics as :func:`wkv7_reference`; differentiable via JAX
     autodiff (the whole graph is jnp matmuls + a short scan over chunk states).
 
+    STABILITY: chunks > 16 amplify input rounding through the (I-M)^{-1}
+    solve and can NaN on realistic activations (k near-constant over t with
+    a_gate ~ 1 — the post-first-optimizer-step regime; see
+    tests/test_wkv7_stability.py). The :func:`wkv7` dispatcher caps at 16;
+    direct callers passing larger chunks opt into the risk (test sweeps only).
+
     The op is HBM-bound on its decay-adjusted intermediates; they are stored in
     the input dtype (bf16 in production) — the MXU computes in bf16 anyway —
     while cumulative-decay exponentials and the carried state stay fp32.
