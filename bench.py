@@ -13,13 +13,45 @@ thousands of tunnel round-trips).
 
 import functools
 import json
+import os
+import subprocess
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
+_PROBE = "import jax, jax.numpy as jnp; x = jnp.ones((256, 256)); (x @ x).block_until_ready()"
+
+
+def wait_for_tpu(max_wait_s: float = 1800.0, interval_s: float = 60.0) -> None:
+    """The remote-TPU tunnel goes UNAVAILABLE for stretches and recovers on
+    its own; probe it in a SUBPROCESS (a failed in-process backend init
+    sticks for the interpreter's lifetime) and wait before measuring."""
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            subprocess.run(
+                [sys.executable, "-c", _PROBE], timeout=240, check=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+            return
+        except (subprocess.CalledProcessError, subprocess.TimeoutExpired):
+            if time.time() > deadline:
+                raise RuntimeError(
+                    "TPU tunnel unavailable for %.0f min; refusing to record "
+                    "a garbage benchmark" % (max_wait_s / 60)
+                )
+            print(
+                "bench: TPU probe failed, retrying in %.0fs" % interval_s,
+                file=sys.stderr, flush=True,
+            )
+            time.sleep(interval_s)
+
 
 def main():
+    if os.environ.get("BENCH_SKIP_PROBE") != "1":
+        wait_for_tpu()
     from visualrwkv_tpu.config import RWKVConfig
     from visualrwkv_tpu.models import rwkv7
 
