@@ -134,3 +134,32 @@ def test_pallas_v2_matches_reference(t_block, g_heads):
                                 t_block=t_block, g_heads=g_heads)
     assert rel_err(y_v2, y_ref) < 1e-5
     assert rel_err(s_v2, s_ref) < 1e-5
+
+
+def test_packed_matches_head_layout():
+    """Packed-lane forward (head pairs on the 128-lane minor) must be
+    BIT-identical to the head-layout kernel: same per-head math, only the
+    HBM stream layout differs."""
+    from visualrwkv_tpu.ops.wkv7_pallas import wkv7_pallas_packed
+
+    inputs = make_inputs(jax.random.PRNGKey(11), B=2, T=64, H=4, N=64)
+    inputs = tuple(x.astype(jnp.bfloat16) for x in inputs)
+    s0 = jax.random.normal(jax.random.PRNGKey(12), (2, 4, 64, 64), jnp.float32) * 0.1
+    y0, sf0 = wkv7_pallas(*inputs, initial_state=s0, chunk=16)
+    y1, sf1 = wkv7_pallas_packed(*inputs, initial_state=s0, chunk=16)
+    assert np.array_equal(
+        np.asarray(y0, np.float32), np.asarray(y1, np.float32)
+    )
+    assert np.array_equal(np.asarray(sf0), np.asarray(sf1))
+
+    y_ref, s_ref = wkv7_reference(*(x.astype(jnp.float32) for x in inputs), initial_state=s0)
+    assert rel_err(y1.astype(jnp.float32), y_ref) < 5e-3
+    assert rel_err(sf1, s_ref) < 5e-3
+
+
+def test_packed_rejects_odd_heads():
+    from visualrwkv_tpu.ops.wkv7_pallas import wkv7_pallas_packed
+
+    inputs = make_inputs(jax.random.PRNGKey(13), B=1, T=32, H=3, N=64)
+    with pytest.raises(ValueError, match="even head count"):
+        wkv7_pallas_packed(*inputs, chunk=16)

@@ -201,6 +201,159 @@ def wkv7_pallas(
 
 
 # ---------------------------------------------------------------------------
+# Packed-lane forward: head pairs share the 128-lane minor dim
+# ---------------------------------------------------------------------------
+
+
+def _wkv7_kernel_packed(init_ref, r_ref, w_ref, k_ref, v_ref, a_ref, b_ref,
+                        y_ref, s_out_ref, z_scratch, *, L: int, nc: int,
+                        G2: int, mxu_dtype):
+    """Same math as _wkv7_kernel for 2*G2 heads, with all HBM streams packed
+    [G2, L, 2N]: the 64-lane minor of the head layout pads to 128 on TPU (a
+    measured 2.0x tax on every kernel stream); packing adjacent head pairs
+    side-by-side on the lane dim makes every DMA full-width.  The
+    elementwise decay pipeline runs packed; only the MXU dots split into
+    per-head [.., N] halves (aligned lane slices + axis-0 concat, which
+    Mosaic lowers — unlike the [G, L/2, 128] -> [G, L, 64] bitcast relayout
+    recorded as a negative result in PROGRESS round 2)."""
+    c = pl.program_id(1)
+    f32 = jnp.float32
+    N = r_ref.shape[-1] // 2
+
+    @pl.when(c == 0)
+    def _():
+        z_scratch[:] = init_ref[:]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    cum = (cols <= rows).astype(f32)
+    strict = (cols < rows).astype(f32)
+    incl = cum
+
+    bf = mxu_dtype
+
+    def split(x):  # [G2, S, 2N] -> [2*G2, S, N]
+        return jnp.concatenate([x[:, :, :N], x[:, :, N:]], axis=0)
+
+    def unsplit(x):  # [2*G2, S, N] -> [G2, S, 2N]
+        return jnp.concatenate([x[:G2], x[G2:]], axis=2)
+
+    r = r_ref[...].astype(f32)
+    w = w_ref[...].astype(f32)
+    k = k_ref[...].astype(f32)
+    vp = v_ref[...].astype(bf)
+    a = a_ref[...].astype(f32)
+    b = b_ref[...].astype(f32)
+
+    # packed elementwise pipeline ([G2, L, 2N]; lanes are independent)
+    logw = -jnp.exp(w)
+    g = jnp.einsum("ts,gsn->gtn", cum, logw, preferred_element_type=f32)
+    g_prev = g - logw
+    g_last = g[:, -1:, :]
+    eg, eng = jnp.exp(g), jnp.exp(-g)
+    a_t32 = a * jnp.exp(g_prev)
+    b_h32 = b * eng
+    k_h32 = k * eng
+    decay_to_end = jnp.exp(g_last - g)
+
+    # per-head splits for the contraction-over-N dots
+    a_ts = split(a_t32)
+    b_hs = split(b_h32)
+    k_hs = split(k_h32)
+    r_ts = split((r * eg)).astype(bf)
+    b_bars = split(b * decay_to_end).astype(bf)
+    k_bars = split(k * decay_to_end).astype(bf)
+    v = split(vp)
+
+    m_mat = _bdot(a_ts, _btr(b_hs)) * strict
+    n_mat = _bdot(a_ts, _btr(k_hs)) * strict
+    t_inv = _btri_inverse(m_mat, L)
+
+    z = split(z_scratch[...])  # [2*G2, N_k, N_v] fp32
+    zb = z.astype(bf)
+    u = _bdot(t_inv, _bdot(n_mat, v.astype(f32)) + _bdot(a_ts, z))
+    sb = (_bdot(r_ts, _btr(b_hs.astype(bf))) * incl).astype(bf)
+    sk = (_bdot(r_ts, _btr(k_hs.astype(bf))) * incl).astype(bf)
+    ub = u.astype(bf)
+    y = _bdot(r_ts, zb) + _bdot(sb, ub) + _bdot(sk, v)
+    y_ref[...] = unsplit(y).astype(y_ref.dtype)
+
+    z = _btr(split(jnp.exp(g_last))) * z + _bdot(_btr(b_bars), ub) + _bdot(_btr(k_bars), v)
+    zp = unsplit(z)
+    z_scratch[...] = zp
+
+    @pl.when(c == nc - 1)
+    def _():
+        s_out_ref[...] = zp
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def wkv7_pallas_packed(
+    r: Array,
+    w_raw: Array,
+    k: Array,
+    v: Array,
+    a: Array,
+    b: Array,
+    initial_state: Optional[Array] = None,
+    chunk: int = DEFAULT_CHUNK,
+) -> Tuple[Array, Array]:
+    """Packed-lane fused forward (head pairs on the 128-lane minor).  Same
+    semantics as :func:`wkv7_pallas`; requires an even head count."""
+    B, T, H, N = r.shape
+    if H % 2:
+        raise ValueError(f"packed layout needs an even head count, got H={H}")
+    if T % chunk != 0:
+        raise ValueError(f"T={T} must be a multiple of chunk={chunk}")
+    L = chunk
+    nc = T // L
+    BH2 = B * H // 2
+
+    def pack(x):
+        # [B,T,H,N] -> [B,T,H/2,2N] is free (lane-contiguous); then the same
+        # transpose the head layout pays
+        x = x.reshape(B, T, H // 2, 2 * N)
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(BH2, T, 2 * N)
+
+    rf, wf, kf, vf, af, bf = (pack(x) for x in (r, w_raw, k, v, a, b))
+    if initial_state is None:
+        z0 = jnp.zeros((BH2, N, 2 * N), jnp.float32)
+    else:
+        # [B,H,Nv,Nk] -> Z=S^T [B,H,Nk,Nv] -> pair heads on the Nv lanes
+        z = jnp.swapaxes(initial_state.astype(jnp.float32), -1, -2)
+        z = z.reshape(B, H // 2, 2, N, N)
+        z0 = jnp.transpose(z, (0, 1, 3, 2, 4)).reshape(BH2, N, 2 * N)
+
+    G2 = max(1, _pick_g(BH2 * 2, L, N, fp32_bufs=12) // 2)
+    while BH2 % G2:
+        G2 //= 2
+
+    in_spec = pl.BlockSpec((G2, L, 2 * N), lambda bh, c: (bh, c, 0), memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((G2, N, 2 * N), lambda bh, c: (bh, 0, 0), memory_space=pltpu.VMEM)
+
+    mxu_dtype = jnp.bfloat16 if r.dtype == jnp.bfloat16 else jnp.float32
+    y, s_out = pl.pallas_call(
+        functools.partial(_wkv7_kernel_packed, L=L, nc=nc, G2=G2, mxu_dtype=mxu_dtype),
+        grid=(BH2 // G2, nc),
+        in_specs=[state_spec] + [in_spec] * 6,
+        out_specs=(in_spec, state_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH2, T, 2 * N), r.dtype),
+            jax.ShapeDtypeStruct((BH2, N, 2 * N), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((G2, N, 2 * N), jnp.float32)],
+        interpret=jax.default_backend() == "cpu",
+    )(z0, rf, wf, kf, vf, af, bf)
+
+    y = jnp.transpose(y.reshape(B, H // 2, T, 2 * N), (0, 2, 1, 3)).reshape(B, T, H, N)
+    s = s_out.reshape(B, H // 2, N, 2, N)
+    final_state = jnp.swapaxes(
+        jnp.transpose(s, (0, 1, 3, 2, 4)).reshape(B, H, N, N), -1, -2
+    )
+    return y, final_state
+
+
+# ---------------------------------------------------------------------------
 # Fused decode step (T=1)
 # ---------------------------------------------------------------------------
 
