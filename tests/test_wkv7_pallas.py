@@ -163,3 +163,31 @@ def test_packed_rejects_odd_heads():
     inputs = make_inputs(jax.random.PRNGKey(13), B=1, T=32, H=3, N=64)
     with pytest.raises(ValueError, match="even head count"):
         wkv7_pallas_packed(*inputs, chunk=16)
+
+
+def test_packed_fwd_res_and_bwd_match_head_layout():
+    """Packed residual-forward and backward must match the head-layout pair
+    bit-for-bit (same math, different stream layout)."""
+    from visualrwkv_tpu.ops.wkv7_pallas import (
+        wkv7_pallas_bwd,
+        wkv7_pallas_bwd_packed,
+        wkv7_pallas_fwd_res,
+        wkv7_pallas_fwd_res_packed,
+    )
+
+    inputs = make_inputs(jax.random.PRNGKey(14), B=2, T=64, H=4, N=64)
+    inputs = tuple(x.astype(jnp.bfloat16) for x in inputs)
+    s0 = jax.random.normal(jax.random.PRNGKey(15), (2, 4, 64, 64), jnp.float32) * 0.1
+    y0, sf0, zin0 = wkv7_pallas_fwd_res(*inputs, initial_state=s0, chunk=16)
+    y1, sf1, zin1 = wkv7_pallas_fwd_res_packed(*inputs, initial_state=s0, chunk=16)
+    assert np.array_equal(np.asarray(y0, np.float32), np.asarray(y1, np.float32))
+    assert np.array_equal(np.asarray(sf0), np.asarray(sf1))
+
+    dy = jax.random.normal(jax.random.PRNGKey(16), y0.shape, jnp.float32).astype(jnp.bfloat16)
+    dzf = jax.random.normal(jax.random.PRNGKey(17), s0.shape, jnp.float32)
+    g0 = wkv7_pallas_bwd(*inputs, zin0, dy, dzf, chunk=16)
+    g1 = wkv7_pallas_bwd_packed(*inputs, zin1, dy, dzf, chunk=16)
+    for name, a_, b_ in zip("rwkvab" + "s", g0, g1):
+        assert np.array_equal(
+            np.asarray(a_, np.float32), np.asarray(b_, np.float32)
+        ), f"d{name}"

@@ -74,32 +74,17 @@ def _btri_inverse(m_strict: Array, L: int) -> Array:
     return t
 
 
-def _wkv7_kernel(init_ref, r_ref, w_ref, k_ref, v_ref, a_ref, b_ref,
-                 y_ref, s_out_ref, z_scratch, *, L: int, nc: int, G: int,
-                 mxu_dtype):
-    c = pl.program_id(1)
+def _wkv7_chunk_math(z, r, w, k, v, a, b, *, L: int, mxu_dtype):
+    """One chunk of the fused forward on VALUES (all [G, L, N] fp32 except v
+    [G, L, N] in mxu_dtype; z [G, N_k, N_v] fp32).  Returns (y fp32-ish, z).
+    Shared by the head-layout and packed-lane kernels."""
     f32 = jnp.float32
-
-    @pl.when(c == 0)
-    def _():
-        z_scratch[:] = init_ref[:]
-
+    bf = mxu_dtype
     rows = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
     cum = (cols <= rows).astype(f32)  # cumsum-as-matmul (no Mosaic cumsum)
     strict = (cols < rows).astype(f32)
     incl = cum
-
-    # All G heads processed as BATCHED dots (one program = G heads).
-    # For bf16 inputs, MXU dots take bf16 operands with fp32 accumulation (the
-    # reference CUDA kernel's precision model); fp32 inputs keep fp32 dots.
-    bf = mxu_dtype
-    r = r_ref[...].astype(f32)
-    w = w_ref[...].astype(f32)
-    k = k_ref[...].astype(f32)
-    v = v_ref[...].astype(bf)
-    a = a_ref[...].astype(f32)
-    b = b_ref[...].astype(f32)
 
     logw = -jnp.exp(w)  # [G, L, N]
     g = jnp.einsum("ts,gsn->gtn", cum, logw, preferred_element_type=f32)
@@ -131,16 +116,36 @@ def _wkv7_kernel(init_ref, r_ref, w_ref, k_ref, v_ref, a_ref, b_ref,
     n_mat = _bdot(a_t32, _btr(k_h32)) * strict
     t_inv = _btri_inverse(m_mat, L)
 
-    z = z_scratch[...]  # [G, N_k, N_v] fp32
     zb = z.astype(bf)
     u = _bdot(t_inv, _bdot(n_mat, v.astype(f32)) + _bdot(a_t32, z))
     sb = (_bdot(r_t, _btr(b_h)) * incl).astype(bf)
     sk = (_bdot(r_t, _btr(k_h)) * incl).astype(bf)
     ub = u.astype(bf)
     y = _bdot(r_t, zb) + _bdot(sb, ub) + _bdot(sk, v)
-    y_ref[...] = y.astype(y_ref.dtype)
-
     z = _btr(jnp.exp(g_last)) * z + _bdot(_btr(b_bar), ub) + _bdot(_btr(k_bar), v)
+    return y, z
+
+
+def _wkv7_kernel(init_ref, r_ref, w_ref, k_ref, v_ref, a_ref, b_ref,
+                 y_ref, s_out_ref, z_scratch, *, L: int, nc: int, G: int,
+                 mxu_dtype):
+    c = pl.program_id(1)
+    f32 = jnp.float32
+
+    @pl.when(c == 0)
+    def _():
+        z_scratch[:] = init_ref[:]
+
+    # All G heads processed as BATCHED dots (one program = G heads).
+    # For bf16 inputs, MXU dots take bf16 operands with fp32 accumulation (the
+    # reference CUDA kernel's precision model); fp32 inputs keep fp32 dots.
+    y, z = _wkv7_chunk_math(
+        z_scratch[...],
+        r_ref[...].astype(f32), w_ref[...].astype(f32), k_ref[...].astype(f32),
+        v_ref[...].astype(mxu_dtype), a_ref[...].astype(f32),
+        b_ref[...].astype(f32), L=L, mxu_dtype=mxu_dtype,
+    )
+    y_ref[...] = y.astype(y_ref.dtype)
     z_scratch[...] = z
 
     @pl.when(c == nc - 1)
@@ -353,6 +358,177 @@ def wkv7_pallas_packed(
     return y, final_state
 
 
+def _pack_stream(x, B, T, H, N):
+    """[B,T,H,N] -> [B*H/2, T, 2N] (head pairs on the lane minor)."""
+    x = x.reshape(B, T, H // 2, 2 * N)
+    return jnp.transpose(x, (0, 2, 1, 3)).reshape(B * H // 2, T, 2 * N)
+
+
+def _unpack_stream(x, B, T, H, N):
+    return jnp.transpose(x.reshape(B, H // 2, T, 2 * N), (0, 2, 1, 3)).reshape(B, T, H, N)
+
+
+def _pack_state_z(s, B, H, N):
+    """S [B,H,Nv,Nk] -> packed Z=S^T [B*H/2, Nk, 2*Nv]."""
+    z = jnp.swapaxes(s.astype(jnp.float32), -1, -2).reshape(B, H // 2, 2, N, N)
+    return jnp.transpose(z, (0, 1, 3, 2, 4)).reshape(B * H // 2, N, 2 * N)
+
+
+def _unpack_state_z(z, B, H, N):
+    z = z.reshape(B, H // 2, N, 2, N)
+    return jnp.swapaxes(jnp.transpose(z, (0, 1, 3, 2, 4)).reshape(B, H, N, N), -1, -2)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def wkv7_pallas_fwd_res_packed(r, w_raw, k, v, a, b, initial_state=None,
+                               chunk: int = DEFAULT_CHUNK):
+    """Packed-lane fwd_res: (y, final_state, PACKED chunk-input states
+    [B*H/2, nc, N, 2N]) — feed zin straight into wkv7_pallas_bwd_packed."""
+    B, T, H, N = r.shape
+    if H % 2:
+        raise ValueError(f"packed layout needs an even head count, got H={H}")
+    L = chunk
+    nc = T // L
+    BH2 = B * H // 2
+
+    rf, wf, kf, vf, af, bf = (_pack_stream(x, B, T, H, N) for x in (r, w_raw, k, v, a, b))
+    if initial_state is None:
+        z0 = jnp.zeros((BH2, N, 2 * N), jnp.float32)
+    else:
+        z0 = _pack_state_z(initial_state, B, H, N)
+
+    G2 = max(1, _pick_g(BH2 * 2, L, N, fp32_bufs=12) // 2)
+    while BH2 % G2:
+        G2 //= 2
+
+    in_spec = pl.BlockSpec((G2, L, 2 * N), lambda bh, c: (bh, c, 0), memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((G2, N, 2 * N), lambda bh, c: (bh, 0, 0), memory_space=pltpu.VMEM)
+    zin_spec = pl.BlockSpec((G2, 1, N, 2 * N), lambda bh, c: (bh, c, 0, 0), memory_space=pltpu.VMEM)
+    mxu_dtype = jnp.bfloat16 if r.dtype == jnp.bfloat16 else jnp.float32
+
+    def kernel(init_ref, r_ref, w_ref, k_ref, v_ref, a_ref, b_ref,
+               y_ref, s_out_ref, zin_ref, z_scratch):
+        c = pl.program_id(1)
+        for gi in range(G2):
+            @pl.when(c == 0)
+            def _(gi=gi):
+                zin_ref[gi, 0] = init_ref[gi]
+
+            @pl.when(c != 0)
+            def _(gi=gi):
+                zin_ref[gi, 0] = z_scratch[gi]
+
+        _wkv7_kernel_packed(init_ref, r_ref, w_ref, k_ref, v_ref, a_ref, b_ref,
+                            y_ref, s_out_ref, z_scratch, L=L, nc=nc, G2=G2,
+                            mxu_dtype=mxu_dtype)
+
+    y, s_out, zin = pl.pallas_call(
+        kernel,
+        grid=(BH2 // G2, nc),
+        in_specs=[state_spec] + [in_spec] * 6,
+        out_specs=(in_spec, state_spec, zin_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH2, T, 2 * N), r.dtype),
+            jax.ShapeDtypeStruct((BH2, N, 2 * N), jnp.float32),
+            jax.ShapeDtypeStruct((BH2, nc, N, 2 * N), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((G2, N, 2 * N), jnp.float32)],
+        interpret=jax.default_backend() == "cpu",
+    )(z0, rf, wf, kf, vf, af, bf)
+
+    return (_unpack_stream(y, B, T, H, N), _unpack_state_z(s_out, B, H, N), zin)
+
+
+def _wkv7_bwd_kernel_packed(zin_ref, r_ref, w_ref, k_ref, v_ref, a_ref, b_ref,
+                            dy_ref, dzf_ref,
+                            dr_ref, dw_ref, dk_ref, dv_ref, da_ref, db_ref,
+                            dz0_ref, dz_scratch, *, L: int, nc: int, G2: int):
+    """Packed-lane backward: all 9 input + 7 output streams full-width; the
+    shared fp32 VJP math (_wkv7_bwd_math) runs on per-head splits."""
+    c = pl.program_id(1)
+    f32 = jnp.float32
+    N = r_ref.shape[-1] // 2
+
+    @pl.when(c == 0)
+    def _():
+        dz_scratch[...] = dzf_ref[...]
+
+    def split(x):
+        return jnp.concatenate([x[:, :, :N], x[:, :, N:]], axis=0)
+
+    def unsplit(x):
+        return jnp.concatenate([x[:G2], x[G2:]], axis=2)
+
+    dr, dw, dk, dv, da, db, dZ0 = _wkv7_bwd_math(
+        split(zin_ref[:, 0]), split(dz_scratch[...]),
+        split(r_ref[...].astype(f32)), split(w_ref[...].astype(f32)),
+        split(k_ref[...].astype(f32)), split(v_ref[...].astype(f32)),
+        split(a_ref[...].astype(f32)), split(b_ref[...].astype(f32)),
+        split(dy_ref[...].astype(f32)), L=L,
+    )
+
+    dr_ref[...] = unsplit(dr).astype(dr_ref.dtype)
+    dw_ref[...] = unsplit(dw).astype(dw_ref.dtype)
+    dk_ref[...] = unsplit(dk).astype(dk_ref.dtype)
+    dv_ref[...] = unsplit(dv).astype(dv_ref.dtype)
+    da_ref[...] = unsplit(da).astype(da_ref.dtype)
+    db_ref[...] = unsplit(db).astype(db_ref.dtype)
+    dZ0p = unsplit(dZ0)
+    dz_scratch[...] = dZ0p
+
+    @pl.when(c == nc - 1)
+    def _():
+        dz0_ref[...] = dZ0p
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def wkv7_pallas_bwd_packed(r, w_raw, k, v, a, b, zin, dy, dzfinal,
+                           chunk: int = DEFAULT_CHUNK):
+    """Packed-lane backward. ``zin`` must be the PACKED chunk-input states
+    from :func:`wkv7_pallas_fwd_res_packed`. Returns grads for
+    (r, w_raw, k, v, a, b, initial_state)."""
+    B, T, H, N = r.shape
+    if H % 2:
+        raise ValueError(f"packed layout needs an even head count, got H={H}")
+    L = chunk
+    nc = T // L
+    BH2 = B * H // 2
+
+    rf, wf, kf, vf, af, bf, dyf = (
+        _pack_stream(x, B, T, H, N) for x in (r, w_raw, k, v, a, b, dy)
+    )
+    dzf = _pack_state_z(dzfinal, B, H, N)
+
+    G2 = max(1, _pick_g(BH2 * 2, L, N, fp32_bufs=36) // 2)
+    while BH2 % G2:
+        G2 //= 2
+
+    in_spec = pl.BlockSpec((G2, L, 2 * N), lambda bh, c: (bh, nc - 1 - c, 0),
+                           memory_space=pltpu.VMEM)
+    zin_spec = pl.BlockSpec((G2, 1, N, 2 * N), lambda bh, c: (bh, nc - 1 - c, 0, 0),
+                            memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((G2, N, 2 * N), lambda bh, c: (bh, 0, 0),
+                              memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        functools.partial(_wkv7_bwd_kernel_packed, L=L, nc=nc, G2=G2),
+        grid=(BH2 // G2, nc),
+        in_specs=[zin_spec] + [in_spec] * 7 + [state_spec],
+        out_specs=tuple([in_spec] * 6 + [state_spec]),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((BH2, T, 2 * N), r.dtype)] * 6
+            + [jax.ShapeDtypeStruct((BH2, N, 2 * N), jnp.float32)]
+        ),
+        scratch_shapes=[pltpu.VMEM((G2, N, 2 * N), jnp.float32)],
+        interpret=jax.default_backend() == "cpu",
+    )(zin, rf, wf, kf, vf, af, bf, dyf, dzf)
+
+    dr, dw, dk, dv, da, db, dz0 = outs
+    return tuple(
+        _unpack_stream(x, B, T, H, N) for x in (dr, dw, dk, dv, da, db)
+    ) + (_unpack_state_z(dz0, B, H, N),)
+
+
 # ---------------------------------------------------------------------------
 # Fused decode step (T=1)
 # ---------------------------------------------------------------------------
@@ -492,34 +668,16 @@ def wkv7_pallas_fwd_res(r, w_raw, k, v, a, b, initial_state=None,
     return y, final_state, zin
 
 
-def _wkv7_bwd_kernel(zin_ref, r_ref, w_ref, k_ref, v_ref, a_ref, b_ref,
-                     dy_ref, dzf_ref,
-                     dr_ref, dw_ref, dk_ref, dv_ref, da_ref, db_ref, dz0_ref,
-                     dz_scratch, *, L: int, nc: int, G: int):
-    """Reverse-chunk-order VJP. Grid step c processes chunk nc-1-c; the state
-    cotangent dZ is carried in VMEM scratch. All math fp32 (gradients are
-    precision-sensitive; the CUDA backward also accumulates in fp32)."""
-    c = pl.program_id(1)
+def _wkv7_bwd_math(Z0, dZ1, r, w, k, v, a, b, dY, *, L: int):
+    """One chunk of the hand-derived VJP on VALUES (all fp32).  Returns
+    (dr, dw, dk, dv, da, db, dZ0).  Shared by the head-layout and
+    packed-lane backward kernels."""
     f32 = jnp.float32
     rows = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
     cum = (cols <= rows).astype(f32)
     strict = (cols < rows).astype(f32)
     il = cum
-
-    @pl.when(c == 0)  # grid step 0 = LAST chunk: seed with d(final state)
-    def _():
-        dz_scratch[...] = dzf_ref[...]
-
-    r = r_ref[...].astype(f32)
-    w = w_ref[...].astype(f32)
-    k = k_ref[...].astype(f32)
-    v = v_ref[...].astype(f32)
-    a = a_ref[...].astype(f32)
-    b = b_ref[...].astype(f32)
-    dY = dy_ref[...].astype(f32)
-    Z0 = zin_ref[:, 0]
-    dZ1 = dz_scratch[...]
 
     # ---- recompute forward chunk quantities (batched over G) ----
     logw = -jnp.exp(w)
@@ -585,6 +743,29 @@ def _wkv7_bwd_kernel(zin_ref, r_ref, w_ref, k_ref, v_ref, a_ref, b_ref,
         + dgl
     )
     dw = dlw * (-jnp.exp(w))  # d logw / d w_raw = -e^{w_raw}
+    return dr, dw, dk, dv, da, db, dZ0
+
+
+def _wkv7_bwd_kernel(zin_ref, r_ref, w_ref, k_ref, v_ref, a_ref, b_ref,
+                     dy_ref, dzf_ref,
+                     dr_ref, dw_ref, dk_ref, dv_ref, da_ref, db_ref, dz0_ref,
+                     dz_scratch, *, L: int, nc: int, G: int):
+    """Reverse-chunk-order VJP. Grid step c processes chunk nc-1-c; the state
+    cotangent dZ is carried in VMEM scratch. All math fp32 (gradients are
+    precision-sensitive; the CUDA backward also accumulates in fp32)."""
+    c = pl.program_id(1)
+    f32 = jnp.float32
+
+    @pl.when(c == 0)  # grid step 0 = LAST chunk: seed with d(final state)
+    def _():
+        dz_scratch[...] = dzf_ref[...]
+
+    dr, dw, dk, dv, da, db, dZ0 = _wkv7_bwd_math(
+        zin_ref[:, 0], dz_scratch[...],
+        r_ref[...].astype(f32), w_ref[...].astype(f32), k_ref[...].astype(f32),
+        v_ref[...].astype(f32), a_ref[...].astype(f32), b_ref[...].astype(f32),
+        dy_ref[...].astype(f32), L=L,
+    )
 
     dr_ref[...] = dr.astype(dr_ref.dtype)
     dw_ref[...] = dw.astype(dw_ref.dtype)
