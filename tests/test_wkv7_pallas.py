@@ -165,6 +165,7 @@ def test_packed_rejects_odd_heads():
         wkv7_pallas_packed(*inputs, chunk=16)
 
 
+@pytest.mark.slow
 def test_packed_fwd_res_and_bwd_match_head_layout():
     """Packed residual-forward and backward must match the head-layout pair
     bit-for-bit (same math, different stream layout)."""
