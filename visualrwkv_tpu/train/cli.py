@@ -74,6 +74,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--dummy", action="store_true", help="dummy-data smoke run")
     p.add_argument("--dtype", default="bfloat16", type=str)
     p.add_argument(
+        "--chunk_len", default=16, type=int,
+        help="WKV chunk length (the fused path is stability-capped at 16; "
+        "8 hardens the adversarial envelope at ~16%% step cost — see "
+        "tests/test_wkv7_stability.py)",
+    )
+    p.add_argument(
         "--param_dtype", default="float32", choices=["float32", "bfloat16", "float16"],
         help="parameter storage dtype; below-fp32 keeps fp32 masters in opt state",
     )
@@ -93,6 +99,7 @@ def make_configs(args):
         rwkv=RWKVConfig(
             n_layer=args.n_layer, n_embd=args.n_embd, vocab_size=args.vocab_size,
             head_size=args.head_size_a, ctx_len=args.ctx_len, compute_dtype=args.dtype,
+            chunk_len=args.chunk_len,
         ),
         vision=VisionConfig(towers=towers),
         proj_type=args.proj_type,
