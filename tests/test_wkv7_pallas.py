@@ -192,3 +192,41 @@ def test_packed_fwd_res_and_bwd_match_head_layout():
         assert np.array_equal(
             np.asarray(a_, np.float32), np.asarray(b_, np.float32)
         ), f"d{name}"
+
+
+def test_impl_packed_dispatch_matches_pallas():
+    """set_wkv_impl("packed") must route wkv7() through the packed pair with
+    identical values AND gradients; odd head counts fall back to head layout."""
+    import importlib
+
+    w7 = importlib.import_module("visualrwkv_tpu.ops.wkv7")
+
+    inputs = make_inputs(jax.random.PRNGKey(18), B=1, T=32, H=2, N=64)
+    inputs = tuple(x.astype(jnp.bfloat16) for x in inputs)
+
+    def loss(*xs):
+        y, s = w7.wkv7(*xs, chunk=16)
+        return jnp.sum(y.astype(jnp.float32) ** 2) + jnp.sum(s**2)
+
+    outs = {}
+    for mode in ("pallas", "packed"):
+        w7.set_wkv_impl(mode)
+        try:
+            outs[mode] = (loss(*inputs), jax.grad(loss, argnums=(0, 2))(*inputs))
+        finally:
+            w7.set_wkv_impl("auto")
+    l0, g0 = outs["pallas"]
+    l1, g1 = outs["packed"]
+    assert float(l0) == float(l1)
+    for a_, b_ in zip(g0, g1):
+        assert np.array_equal(np.asarray(a_, np.float32), np.asarray(b_, np.float32))
+
+    # odd heads: packed mode must still work (head-layout fallback)
+    odd = tuple(x.astype(jnp.bfloat16) for x in
+                make_inputs(jax.random.PRNGKey(19), B=1, T=32, H=3, N=64))
+    w7.set_wkv_impl("packed")
+    try:
+        l_odd = loss(*odd)
+    finally:
+        w7.set_wkv_impl("auto")
+    assert np.isfinite(float(l_odd))

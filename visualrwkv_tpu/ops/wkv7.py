@@ -357,9 +357,11 @@ _IMPL_MODE = "auto"  # "auto" | "pallas" | "chunked"
 
 
 def set_wkv_impl(mode: str) -> None:
-    """Select the forward implementation ("auto" uses Pallas on TPU)."""
+    """Select the forward implementation ("auto" uses Pallas on TPU;
+    "packed" opts into the packed-lane kernels, falling back to the
+    head-layout fused pair for odd head counts)."""
     global _IMPL_MODE
-    assert mode in ("auto", "pallas", "chunked"), mode
+    assert mode in ("auto", "pallas", "chunked", "packed"), mode
     _IMPL_MODE = mode
 
 
@@ -492,6 +494,40 @@ def _cv_pallas_bwd(chunk, residuals, cotangents):
 _wkv7_cv_pallas.defvjp(_cv_pallas_fwd, _cv_pallas_bwd)
 
 
+# -- packed-lane Pallas custom_vjp (opt-in via set_wkv_impl("packed")) -------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _wkv7_cv_packed(chunk, r, w_raw, k, v, a, b, initial_state):
+    from visualrwkv_tpu.ops.wkv7_pallas import wkv7_pallas_packed
+
+    return wkv7_pallas_packed(r, w_raw, k, v, a, b, initial_state, chunk=chunk)
+
+
+def _cv_packed_fwd(chunk, r, w_raw, k, v, a, b, initial_state):
+    from visualrwkv_tpu.ops.wkv7_pallas import wkv7_pallas_fwd_res_packed
+
+    y, s, zin = wkv7_pallas_fwd_res_packed(
+        r, w_raw, k, v, a, b, initial_state, chunk=chunk
+    )
+    return (y, s), (r, w_raw, k, v, a, b, zin, initial_state)
+
+
+def _cv_packed_bwd(chunk, residuals, cotangents):
+    from visualrwkv_tpu.ops.wkv7_pallas import wkv7_pallas_bwd_packed
+
+    r, w_raw, k, v, a, b, zin, initial_state = residuals
+    dy, dstate = cotangents
+    grads = wkv7_pallas_bwd_packed(
+        r, w_raw, k, v, a, b, zin, dy, dstate, chunk=chunk
+    )
+    d_init = None if initial_state is None else grads[6].astype(initial_state.dtype)
+    return (*grads[:6], d_init)
+
+
+_wkv7_cv_packed.defvjp(_cv_packed_fwd, _cv_packed_bwd)
+
+
 def wkv7(
     r: Array,
     w_raw: Array,
@@ -517,8 +553,13 @@ def wkv7(
             axis=_WKV_SEQ_AXIS,
         )
     T = r.shape[1]
-    use_pallas = _IMPL_MODE == "pallas" or (
+    use_pallas = _IMPL_MODE in ("pallas", "packed") or (
         _IMPL_MODE == "auto" and jax.default_backend() == "tpu"
+    )
+    fused_cv = (
+        _wkv7_cv_packed
+        if _IMPL_MODE == "packed" and r.shape[2] % 2 == 0
+        else _wkv7_cv_pallas
     )
     fn_cv, eff_chunk = _wkv7_cv_chunked, chunk
     if use_pallas:
@@ -535,7 +576,7 @@ def wkv7(
         # measured ~16% train-step cost.
         for c in (16, 8, 4):
             if c <= chunk and T % c == 0:
-                fn_cv, eff_chunk = _wkv7_cv_pallas, c
+                fn_cv, eff_chunk = fused_cv, c
                 break
 
     spmd = _spmd_axes(r.shape[0], r.shape[2])
@@ -557,6 +598,10 @@ def wkv7(
 
     mesh, bs, hs = spmd
     B, _, H, N = r.shape
+    if fn_cv is _wkv7_cv_packed and hs is not None:
+        # packed pairs need an even PER-SHARD head count
+        if (H // mesh.shape[hs]) % 2:
+            fn_cv = _wkv7_cv_pallas
     if initial_state is None:
         initial_state = jnp.zeros((B, H, N, N), jnp.float32)
     xs, ss = P(bs, None, hs, None), P(bs, hs, None, None)
