@@ -86,3 +86,41 @@ def test_multimodal_association_is_learned():
     losses = [h["loss"] for h in trainer.history]
     # 3-way association: random ~ ln(66000); even among 3 classes ln(3)=1.1
     assert losses[-1] < 0.5, losses[-5:]
+
+
+def test_delayed_recall_learned_through_fused_pallas_path():
+    """Same copy task, but routed through the fused Pallas custom_vjp pair
+    (interpret mode on CPU) — the exact fwd_res -> hand-derived-backward
+    integration that NaN'd real TPU training at chunk 32 (see
+    tests/test_wkv7_stability.py). Guards kernel-in-the-training-loop
+    correctness end to end: state carry, residual checkpointing, all seven
+    gradients, optimizer coupling."""
+    from visualrwkv_tpu.ops.wkv7 import set_wkv_impl
+
+    cfg = VLMConfig(
+        rwkv=RWKVConfig(n_layer=2, n_embd=64, vocab_size=66000, head_size=32,
+                        compute_dtype="float32", ctx_len=32),
+        vision=VisionConfig(towers=()),
+        proj_type="linear", num_token_per_image=4,
+    )
+    tcfg = TrainConfig(lr_init=5e-3, lr_final=5e-3, epoch_steps=150, epoch_count=1,
+                       micro_bsz=32, grad_cp=False, zero_stage=0, grad_clip=1.0)
+    params = init_visualrwkv_params(jax.random.PRNGKey(0), cfg)
+
+    rng = np.random.default_rng(0)
+
+    def batch_fn(step):
+        ids = rng.integers(1, 32, (32, 24))
+        labels = np.full_like(ids, IGNORE_INDEX)
+        labels[:, 2:] = ids[:, :-2]
+        return {"input_ids": ids, "labels": labels}
+
+    set_wkv_impl("pallas")
+    try:
+        trainer = Trainer(cfg, tcfg, params, mesh=make_mesh(n_data=1))
+        trainer.run_epoch(batch_fn, 0)
+    finally:
+        set_wkv_impl("auto")
+    losses = [h["loss"] for h in trainer.history]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 1.0, losses[-5:]
