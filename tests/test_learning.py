@@ -88,13 +88,14 @@ def test_multimodal_association_is_learned():
     assert losses[-1] < 0.5, losses[-5:]
 
 
-def test_delayed_recall_learned_through_fused_pallas_path():
+@pytest.mark.parametrize("impl", ["pallas", "packed"])
+def test_delayed_recall_learned_through_fused_pallas_path(impl):
     """Same copy task, but routed through the fused Pallas custom_vjp pair
-    (interpret mode on CPU) — the exact fwd_res -> hand-derived-backward
-    integration that NaN'd real TPU training at chunk 32 (see
-    tests/test_wkv7_stability.py). Guards kernel-in-the-training-loop
-    correctness end to end: state carry, residual checkpointing, all seven
-    gradients, optimizer coupling."""
+    (interpret mode on CPU; "packed" = the packed-lane pair) — the exact
+    fwd_res -> hand-derived-backward integration that NaN'd real TPU training
+    at chunk 32 (see tests/test_wkv7_stability.py). Guards
+    kernel-in-the-training-loop correctness end to end: state carry, residual
+    checkpointing, all seven gradients, optimizer coupling."""
     from visualrwkv_tpu.ops.wkv7 import set_wkv_impl
 
     cfg = VLMConfig(
@@ -115,7 +116,7 @@ def test_delayed_recall_learned_through_fused_pallas_path():
         labels[:, 2:] = ids[:, :-2]
         return {"input_ids": ids, "labels": labels}
 
-    set_wkv_impl("pallas")
+    set_wkv_impl(impl)
     try:
         trainer = Trainer(cfg, tcfg, params, mesh=make_mesh(n_data=1))
         trainer.run_epoch(batch_fn, 0)
