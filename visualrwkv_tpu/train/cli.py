@@ -74,6 +74,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--dummy", action="store_true", help="dummy-data smoke run")
     p.add_argument("--dtype", default="bfloat16", type=str)
     p.add_argument(
+        "--wkv_impl", default="auto", choices=["auto", "pallas", "chunked", "packed"],
+        help="WKV kernel implementation (auto = fused Pallas on TPU; packed = "
+        "packed-lane experimental pair; chunked = jnp fallback)",
+    )
+    p.add_argument(
         "--chunk_len", default=16, type=int,
         help="WKV chunk length (the fused path is stability-capped at 16; "
         "8 hardens the adversarial envelope at ~16%% step cost — see "
@@ -193,6 +198,11 @@ def main(argv=None):
     from visualrwkv_tpu.models.visualrwkv import init_visualrwkv_params
     from visualrwkv_tpu.parallel.mesh import make_mesh
     from visualrwkv_tpu.train.trainer import Trainer
+
+    if args.wkv_impl != "auto":
+        from visualrwkv_tpu.ops.wkv7 import set_wkv_impl
+
+        set_wkv_impl(args.wkv_impl)
 
     vlm_cfg, tcfg = make_configs(args)
     if args.dummy:
