@@ -585,7 +585,7 @@ def wkv7(
     if spmd is _SPMD_DECLINED:
         import warnings
 
-        if fn_cv is _wkv7_cv_pallas:
+        if fn_cv in (_wkv7_cv_pallas, _wkv7_cv_packed):
             warnings.warn(
                 "wkv7: declared mesh axes do not divide batch/heads "
                 f"(B={r.shape[0]}, H={r.shape[2]}); using the chunked jnp "
