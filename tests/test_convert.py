@@ -58,3 +58,32 @@ def test_export_round_trip():
     ):
         assert p1 == p2
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-6)
+
+
+def test_torch_to_jax_logit_parity_fused_path():
+    """Same cross-framework lock, but through the fused Pallas custom_vjp
+    dispatch (interpret mode on CPU) — the path real TPU inference/training
+    takes. Guards converter + model + fused-kernel integration against an
+    independent torch implementation."""
+    from visualrwkv_tpu.ops.wkv7 import set_wkv_impl
+
+    torch.manual_seed(1)
+    cfg = RWKVConfig(
+        n_layer=2, n_embd=128, vocab_size=512, head_size=64, compute_dtype="float32"
+    )
+    loras = (cfg.d_decay_lora, cfg.d_aaa_lora, cfg.d_mv_lora, cfg.d_gate_lora)
+    oracle = RWKV7Oracle(cfg.n_layer, cfg.n_embd, cfg.n_head, cfg.vocab_size, cfg.dim_ffn, loras)
+    oracle.eval().float()
+
+    idx = torch.randint(0, 512, (2, 16))
+    logits_torch = oracle(idx).numpy()
+    params = import_rwkv_state_dict(oracle.state_dict())
+
+    for impl in ("pallas", "packed"):
+        set_wkv_impl(impl)
+        try:
+            logits_jax, _ = m.rwkv7_forward_tokens(params, cfg, np.asarray(idx.numpy()))
+        finally:
+            set_wkv_impl("auto")
+        err = rel_err(np.asarray(logits_jax), logits_torch)
+        assert err < 2e-5, f"{impl}: rel rms {err}"
