@@ -460,3 +460,30 @@ def test_trainer_seq_parallel_matches_single_device():
     np.testing.assert_allclose(l_m, l_s, rtol=2e-4, atol=2e-4)
     for a, b in zip(jax.tree_util.tree_leaves(p_m), jax.tree_util.tree_leaves(p_s)):
         np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-5)
+
+
+def test_nonfinite_gradients_are_skipped():
+    """A poisoned batch (inf/nan gradients) must produce a ZERO update, not
+    feed nan into the Adam moments (clip_by_global_norm_f32 + the in-step
+    clip both zero the scale on a non-finite fp32 norm)."""
+    import optax
+
+    from visualrwkv_tpu.train.optim import clip_by_global_norm_f32
+
+    clip = clip_by_global_norm_f32(1.0)
+    good = {"w": jnp.ones((4,)), "b": jnp.ones((2,))}
+    state = clip.init(good)
+
+    bad = {"w": jnp.full((4,), jnp.inf), "b": jnp.ones((2,))}
+    upd, _ = clip.update(bad, state)
+    assert all(np.array_equal(np.asarray(x), 0 * np.asarray(x))
+               for x in jax.tree_util.tree_leaves(upd))
+
+    nan_g = {"w": jnp.full((4,), jnp.nan), "b": jnp.ones((2,))}
+    upd, _ = clip.update(nan_g, state)
+    for x in jax.tree_util.tree_leaves(upd):
+        assert np.isfinite(np.asarray(x)).all()
+        assert (np.asarray(x) == 0).all()
+
+    ok, _ = clip.update(good, state)
+    assert float(jnp.abs(jax.tree_util.tree_leaves(ok)[0]).max()) > 0

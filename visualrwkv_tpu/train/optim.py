@@ -40,8 +40,17 @@ def clip_by_global_norm_f32(max_norm: float) -> optax.GradientTransformation:
         )
         gnorm = jnp.sqrt(sq)
         scale = jnp.minimum(1.0, max_norm / jnp.maximum(gnorm, 1e-12))
+        # non-finite gradients (inf/nan anywhere shows up in the fp32 norm):
+        # zero the step instead of feeding nan into the Adam moments — one
+        # poisoned batch must not destroy the run (free here, the norm is
+        # already computed; discovered via the chunk-32 divergence, see
+        # docs/wkv_chunk_stability.md). where(), not multiply: inf * 0 = nan.
+        finite = jnp.isfinite(gnorm)
         updates = jax.tree_util.tree_map(
-            lambda x: (x.astype(jnp.float32) * scale).astype(x.dtype), updates
+            lambda x: jnp.where(
+                finite, x.astype(jnp.float32) * scale, 0.0
+            ).astype(x.dtype),
+            updates,
         )
         return updates, state
 
@@ -158,9 +167,14 @@ def value_and_clipped_grads(loss_fn, params, batch, accum: int, grad_clip: float
             jnp.sum(jnp.square(x.astype(jnp.float32)))
             for x in jax.tree_util.tree_leaves(grads)
         )
-        scale = jnp.minimum(1.0, grad_clip / jnp.maximum(jnp.sqrt(sq), 1e-12))
+        gnorm = jnp.sqrt(sq)
+        scale = jnp.minimum(1.0, grad_clip / jnp.maximum(gnorm, 1e-12))
+        finite = jnp.isfinite(gnorm)  # skip poisoned steps (where, not *0: inf*0=nan)
         grads = jax.tree_util.tree_map(
-            lambda x: (x.astype(jnp.float32) * scale).astype(x.dtype), grads
+            lambda x: jnp.where(
+                finite, x.astype(jnp.float32) * scale, 0.0
+            ).astype(x.dtype),
+            grads,
         )
     return loss, grads
 
