@@ -24,11 +24,19 @@ import jax.numpy as jnp
 _PROBE = "import jax, jax.numpy as jnp; x = jnp.ones((256, 256)); (x @ x).block_until_ready()"
 
 
-def wait_for_tpu(max_wait_s: float = 1800.0, interval_s: float = 60.0) -> None:
+def wait_for_tpu(max_wait_s: float | None = None, interval_s: float = 60.0) -> None:
     """The remote-TPU tunnel goes UNAVAILABLE for stretches and recovers on
     its own; probe it in a SUBPROCESS (a failed in-process backend init
-    sticks for the interpreter's lifetime) and wait before measuring."""
-    deadline = time.time() + max_wait_s
+    sticks for the interpreter's lifetime) and wait before measuring.
+
+    If the tunnel never comes back, print ONE parseable JSON line (the
+    driver's contract: a real number or a machine-readable reason) before
+    raising. Wait budget tunable via BENCH_MAX_WAIT_S (default 900s, so a
+    dead tunnel cannot consume the whole driver window as in round 2)."""
+    if max_wait_s is None:
+        max_wait_s = float(os.environ.get("BENCH_MAX_WAIT_S", "900"))
+    start = time.time()
+    deadline = start + max_wait_s
     while True:
         try:
             subprocess.run(
@@ -38,6 +46,14 @@ def wait_for_tpu(max_wait_s: float = 1800.0, interval_s: float = 60.0) -> None:
             return
         except (subprocess.CalledProcessError, subprocess.TimeoutExpired):
             if time.time() > deadline:
+                print(json.dumps({
+                    "metric": "decode_tokens_per_sec_per_chip_1B5_int8_bf16state_B32",
+                    "value": None,
+                    "unit": "tokens/s/chip",
+                    "vs_baseline": None,
+                    "error": "tpu_tunnel_down",
+                    "waited_s": round(time.time() - start, 1),
+                }), flush=True)
                 raise RuntimeError(
                     "TPU tunnel unavailable for %.0f min; refusing to record "
                     "a garbage benchmark" % (max_wait_s / 60)

@@ -1,0 +1,96 @@
+"""Driver-artifact contract tests (VERDICT r2 item 1).
+
+The round-2 official record was two rc=124 artifacts caused by the axon
+remote-TPU plugin dialing a dead tunnel. These tests lock the fixes:
+- bench.wait_for_tpu emits ONE parseable JSON error line before raising;
+- dryrun_multichip's re-exec child env has every axon guard var cleared
+  (so /root/.axon_site/sitecustomize.py never registers the plugin) and the
+  re-exec happens unconditionally without touching jax backends in the parent.
+"""
+
+import importlib.util
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(name, fname):
+    spec = importlib.util.spec_from_file_location(name, os.path.join(_ROOT, fname))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_bench_tunnel_down_emits_parseable_json(monkeypatch, capsys):
+    bench = _load("bench_under_test", "bench.py")
+
+    def fail(*a, **k):
+        raise subprocess.CalledProcessError(1, a[0])
+
+    monkeypatch.setattr(bench.subprocess, "run", fail)
+    with pytest.raises(RuntimeError, match="tunnel unavailable"):
+        bench.wait_for_tpu(max_wait_s=0.0, interval_s=0.0)
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["error"] == "tpu_tunnel_down"
+    assert rec["value"] is None
+    assert "waited_s" in rec and "metric" in rec
+
+
+def test_bench_max_wait_env_tunable(monkeypatch):
+    bench = _load("bench_under_test2", "bench.py")
+    monkeypatch.setenv("BENCH_MAX_WAIT_S", "0")
+
+    def fail(*a, **k):
+        raise subprocess.CalledProcessError(1, a[0])
+
+    monkeypatch.setattr(bench.subprocess, "run", fail)
+    with pytest.raises(RuntimeError):
+        bench.wait_for_tpu(interval_s=0.0)  # default path reads the env var
+
+
+def test_dryrun_child_env_is_axon_free(monkeypatch):
+    graft = _load("graft_under_test", "__graft_entry__.py")
+    captured = {}
+
+    class FakeProc:
+        returncode = 0
+
+    def fake_run(cmd, env=None, cwd=None, **k):
+        captured["cmd"], captured["env"], captured["cwd"] = cmd, env, cwd
+        return FakeProc()
+
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
+    monkeypatch.setenv("AXON_LOOPBACK_RELAY", "1")
+    monkeypatch.delenv("_VRWKV_DRYRUN_CHILD", raising=False)
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    graft.dryrun_multichip(8)
+
+    env = captured["env"]
+    for var in ("PALLAS_AXON_POOL_IPS", "AXON_POOL_SVC_OVERRIDE",
+                "AXON_LOOPBACK_RELAY", "PALLAS_AXON_REMOTE_COMPILE",
+                "TPU_WORKER_HOSTNAMES"):
+        assert var not in env, var
+    assert env["JAX_PLATFORMS"] == "cpu"
+    assert env["_VRWKV_DRYRUN_CHILD"] == "1"
+    assert "--xla_force_host_platform_device_count=8" in env["XLA_FLAGS"]
+    assert captured["cwd"] == _ROOT
+    # child code must force the CPU platform before touching any backend
+    assert "jax.config.update('jax_platforms', 'cpu')" in captured["cmd"][-1]
+
+
+def test_dryrun_reexec_fails_loudly_on_child_error(monkeypatch):
+    graft = _load("graft_under_test2", "__graft_entry__.py")
+
+    class FakeProc:
+        returncode = 3
+
+    monkeypatch.delenv("_VRWKV_DRYRUN_CHILD", raising=False)
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: FakeProc())
+    with pytest.raises(RuntimeError, match="rc=3"):
+        graft.dryrun_multichip(4)

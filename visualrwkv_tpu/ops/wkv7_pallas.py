@@ -387,6 +387,8 @@ def wkv7_pallas_fwd_res_packed(r, w_raw, k, v, a, b, initial_state=None,
     B, T, H, N = r.shape
     if H % 2:
         raise ValueError(f"packed layout needs an even head count, got H={H}")
+    if T % chunk != 0:
+        raise ValueError(f"T={T} must be a multiple of chunk={chunk}")
     L = chunk
     nc = T // L
     BH2 = B * H // 2
@@ -490,6 +492,8 @@ def wkv7_pallas_bwd_packed(r, w_raw, k, v, a, b, zin, dy, dzfinal,
     B, T, H, N = r.shape
     if H % 2:
         raise ValueError(f"packed layout needs an even head count, got H={H}")
+    if T % chunk != 0:
+        raise ValueError(f"T={T} must be a multiple of chunk={chunk}")
     L = chunk
     nc = T // L
     BH2 = B * H // 2

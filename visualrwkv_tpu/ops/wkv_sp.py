@@ -120,14 +120,19 @@ def wkv7_seq_shard(
 
 def wkv6_seq_shard(
     r: Array, w_raw: Array, k: Array, v: Array, u: Array,
-    initial_state: Optional[Array] = None, chunk: int = 64,
+    initial_state: Optional[Array] = None, chunk: Optional[int] = None,
     axis: str = "seq",
 ) -> Tuple[Array, Array]:
     """Shard-local WKV6 under T-axis sharding (diag-decay transition; the
-    same identity-probe construction applies)."""
-    from visualrwkv_tpu.ops.wkv6 import wkv6
+    same identity-probe construction applies). ``chunk`` defaults to
+    ``ops.wkv6.DEFAULT_CHUNK`` for consistency with the non-sharded op
+    (the diagonal recurrence has no tri-solve instability, so larger
+    chunks are safe too — pass one explicitly to trade VMEM for speed)."""
+    from visualrwkv_tpu.ops.wkv6 import DEFAULT_CHUNK, wkv6
     from visualrwkv_tpu.ops.wkv7 import wkv_seq_axis
 
+    if chunk is None:
+        chunk = DEFAULT_CHUNK
     B, _, H, N = r.shape
 
     def call(S_in):

@@ -84,6 +84,11 @@ def make_train_step(
 
         if mesh.shape.get("model", 1) > 1:
             raise NotImplementedError("seq parallel + tensor parallel is not wired")
+        if vlm_cfg.rwkv.version != "x070":
+            raise NotImplementedError(
+                "sequence-parallel training only supports RWKV-7 (x070); "
+                f"got version={vlm_cfg.rwkv.version!r}"
+            )
         _seq_loss = jax.shard_map(
             lambda p, ids, lbl: training_loss_seq(
                 p, vlm_cfg, ids, lbl, grad_cp=cfg.grad_cp
