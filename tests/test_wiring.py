@@ -140,3 +140,30 @@ def test_grid_pooling_in_encode_images():
     images = {"clip": np.zeros((2, 16, 16, 3), np.uint8)}
     feats = encode_images(params, cfg, images)
     assert feats.shape == (2, 2, 64)  # global-avg + cls tokens
+
+
+def test_image_to_regions():
+    """v7.02 region splitting (reference v7.02/src/utils.py:100-117): resize
+    to the best bucket, split row-major into region_size tiles."""
+    from PIL import Image
+
+    from visualrwkv_tpu.data.tiling import image_to_regions
+
+    img = Image.new("RGB", (2000, 1000), (255, 0, 0))
+    # paint the right half blue so region ordering is observable
+    img.paste(Image.new("RGB", (1000, 1000), (0, 0, 255)), (1000, 0))
+
+    regions = image_to_regions(img, region_size=448)
+    # 2000x1000 fits the 896x448 bucket exactly -> 1 row x 2 cols, row-major
+    assert len(regions) == 2
+    assert all(r.size == (448, 448) for r in regions)
+    r0 = np.asarray(regions[0]).reshape(-1, 3).mean(0)
+    r1 = np.asarray(regions[1]).reshape(-1, 3).mean(0)
+    assert r0[0] > 200 and r0[2] < 50   # left region red
+    assert r1[2] > 200 and r1[0] < 50   # right region blue
+
+    # a tall image picks the transposed bucket (448x896) -> 2 rows x 1 col
+    tall = Image.new("RGB", (1000, 2000), (0, 255, 0))
+    regions = image_to_regions(tall, region_size=448)
+    assert len(regions) == 2
+    assert all(r.size == (448, 448) for r in regions)

@@ -188,59 +188,71 @@ def main(argv=None):
         gr = None
 
     if gr is not None:
-        with gr.Blocks(title="VisualRWKV-TPU") as demo:
-            gr.Markdown("## VisualRWKV-TPU — O(1)-state multimodal chat")
-            with gr.Tab("Raw Generation"):
-                with gr.Row():
-                    with gr.Column():
-                        prompt = gr.Textbox(
-                            lines=2, label="Prompt",
-                            value=generate_prompt("Tell me about ravens."))
-                        tok_count = gr.Slider(10, 333, value=333, step=10,
-                                              label="Max Tokens")
-                        t_temp = gr.Slider(0.2, 2.0, value=1.0, label="Temperature")
-                        t_topp = gr.Slider(0.0, 1.0, value=0.3, label="Top P")
-                        t_pres = gr.Slider(0.0, 1.0, value=0.0, label="Presence Penalty")
-                        t_cnt = gr.Slider(0.0, 1.0, value=1.0, label="Count Penalty")
-                    with gr.Column():
-                        t_out = gr.Textbox(label="Output", lines=5)
-                        t_btn = gr.Button("Submit", variant="primary")
-                t_btn.click(respond_text,
-                            [prompt, tok_count, t_temp, t_topp, t_pres, t_cnt],
-                            t_out)
-            with gr.Tab("Visual RWKV"):
-                with gr.Row():
-                    image = gr.Image(type="filepath", label="Image")
-                    with gr.Column():
-                        question = gr.Textbox(label="Question")
-                        temperature = gr.Slider(0.2, 2.0, value=1.0, label="Temperature")
-                        top_p = gr.Slider(0.0, 1.0, value=0.3, label="Top-p")
-                        presence = gr.Slider(0.0, 1.0, value=0.0, label="Presence penalty")
-                        count = gr.Slider(0.0, 1.0, value=1.0, label="Count penalty")
-                        out = gr.Textbox(label="Answer")
-                        btn = gr.Button("Generate")
-                btn.click(respond,
-                          [image, question, temperature, top_p, presence, count], out)
+        demo = build_ui(gr, respond, respond_text)
         demo.launch(share=args.share)
     else:
-        print("gradio not available; terminal REPL. 'image <path>' sets the "
-              "image; 'text <prompt>' does raw (no-image) generation.")
-        image_path = None
-        while True:
-            try:
-                line = input("> ").strip()
-            except (EOFError, KeyboardInterrupt):
-                break
-            if not line:
-                continue
-            if line.startswith("image "):
-                image_path = line[len("image "):].strip()
-                print(f"[image set: {image_path}]")
-                continue
-            if line.startswith("text "):
-                print(respond_text(generate_prompt(line[len("text "):])))
-                continue
-            print(respond(image_path, line))
+        run_repl(respond, respond_text)
+
+
+def build_ui(gr, respond, respond_text):
+    """Construct (but do not launch) the two-tab gradio Blocks app
+    (reference app/app_merge.py layout). Factored out of main() so the UI
+    branch is testable without a gradio install (tests pass a fake module)."""
+    with gr.Blocks(title="VisualRWKV-TPU") as demo:
+        gr.Markdown("## VisualRWKV-TPU — O(1)-state multimodal chat")
+        with gr.Tab("Raw Generation"):
+            with gr.Row():
+                with gr.Column():
+                    prompt = gr.Textbox(
+                        lines=2, label="Prompt",
+                        value=generate_prompt("Tell me about ravens."))
+                    tok_count = gr.Slider(10, 333, value=333, step=10,
+                                          label="Max Tokens")
+                    t_temp = gr.Slider(0.2, 2.0, value=1.0, label="Temperature")
+                    t_topp = gr.Slider(0.0, 1.0, value=0.3, label="Top P")
+                    t_pres = gr.Slider(0.0, 1.0, value=0.0, label="Presence Penalty")
+                    t_cnt = gr.Slider(0.0, 1.0, value=1.0, label="Count Penalty")
+                with gr.Column():
+                    t_out = gr.Textbox(label="Output", lines=5)
+                    t_btn = gr.Button("Submit", variant="primary")
+            t_btn.click(respond_text,
+                        [prompt, tok_count, t_temp, t_topp, t_pres, t_cnt],
+                        t_out)
+        with gr.Tab("Visual RWKV"):
+            with gr.Row():
+                image = gr.Image(type="filepath", label="Image")
+                with gr.Column():
+                    question = gr.Textbox(label="Question")
+                    temperature = gr.Slider(0.2, 2.0, value=1.0, label="Temperature")
+                    top_p = gr.Slider(0.0, 1.0, value=0.3, label="Top-p")
+                    presence = gr.Slider(0.0, 1.0, value=0.0, label="Presence penalty")
+                    count = gr.Slider(0.0, 1.0, value=1.0, label="Count penalty")
+                    out = gr.Textbox(label="Answer")
+                    btn = gr.Button("Generate")
+            btn.click(respond,
+                      [image, question, temperature, top_p, presence, count], out)
+    return demo
+
+
+def run_repl(respond, respond_text):
+    print("gradio not available; terminal REPL. 'image <path>' sets the "
+          "image; 'text <prompt>' does raw (no-image) generation.")
+    image_path = None
+    while True:
+        try:
+            line = input("> ").strip()
+        except (EOFError, KeyboardInterrupt):
+            break
+        if not line:
+            continue
+        if line.startswith("image "):
+            image_path = line[len("image "):].strip()
+            print(f"[image set: {image_path}]")
+            continue
+        if line.startswith("text "):
+            print(respond_text(generate_prompt(line[len("text "):])))
+            continue
+        print(respond(image_path, line))
 
 
 if __name__ == "__main__":
