@@ -154,7 +154,13 @@ def _rel_pos_table(size: int, rel_pos: Array) -> Array:
     return rel_pos[coords]
 
 
-_MAX_DENSE_TOKENS = 2048  # above this, use exact q-chunked attention
+_MAX_DENSE_TOKENS = 2048  # above this, flash kernel / exact q-chunked attention
+
+
+def _flash_ok(N: int, W: int) -> bool:
+    from visualrwkv_tpu.vision.flash import flash_enabled, sam_flash_supported
+
+    return flash_enabled() and sam_flash_supported(N, W)
 
 
 def attention_relpos(p: Params, x: Array, heads: int, dt) -> Array:
@@ -194,6 +200,18 @@ def attention_relpos(p: Params, x: Array, heads: int, dt) -> Array:
 
     if N <= _MAX_DENSE_TOKENS:
         out = block_attend(q, rel_h, rel_w)
+    elif _flash_ok(N, W):
+        # global blocks at SAM-1024 (N=4096): custom flash kernel streams key
+        # blocks with the decomposed bias rebuilt in VMEM — the [N, N] logit
+        # matrix never touches HBM (vision/flash.py)
+        from visualrwkv_tpu.vision.flash import sam_flash_attention
+
+        G = B * heads
+        out = sam_flash_attention(
+            q.reshape(G, N, hd).astype(dt), k.reshape(G, N, hd).astype(dt),
+            v.reshape(G, N, hd).astype(dt), rel_h.reshape(G, N, H),
+            rel_w.reshape(G, N, W), scale,
+        ).reshape(B, heads, N, hd).astype(jnp.float32)
     else:
         block = _MAX_DENSE_TOKENS // 2
         assert N % block == 0, (N, block)

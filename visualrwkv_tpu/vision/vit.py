@@ -157,14 +157,25 @@ def _act(x: Array, kind: str) -> Array:
     raise ValueError(kind)
 
 
+_FLASH_MIN_TOKENS = 256  # below this the N^2 logits fit VMEM anyway
+
+
 def attention(p: Params, x: Array, heads: int, dt) -> Array:
-    """Bidirectional MHA via jax.nn.dot_product_attention (XLA fuses the
-    softmax-matmul chain; fp32 softmax internally)."""
+    """Bidirectional MHA. On TPU at encoder-scale token counts the fused
+    Pallas flash-attention kernel runs the softmax-matmul chain without
+    materializing the [B, h, N, N] logits in HBM (BASELINE north star);
+    small inputs / CPU use jax.nn.dot_product_attention (XLA fuses the
+    chain; fp32 softmax internally)."""
+    from visualrwkv_tpu.vision.flash import flash_enabled, flash_mha
+
     B, N, C = x.shape
     hd = C // heads
     qkv = _dense(p["qkv"], x, dt).reshape(B, N, 3, heads, hd)
     q, k, v = (qkv[:, :, i].astype(dt) for i in range(3))  # [B, N, h, hd]
-    out = jax.nn.dot_product_attention(q, k, v)
+    if N >= _FLASH_MIN_TOKENS and flash_enabled():
+        out = flash_mha(q, k, v)
+    else:
+        out = jax.nn.dot_product_attention(q, k, v)
     out = out.reshape(B, N, C)
     return _dense(p["proj"], out, dt)
 
