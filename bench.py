@@ -65,9 +65,66 @@ def wait_for_tpu(max_wait_s: float | None = None, interval_s: float = 60.0) -> N
             time.sleep(interval_s)
 
 
-def main():
-    if os.environ.get("BENCH_SKIP_PROBE") != "1":
-        wait_for_tpu()
+def measure_ttft_336px(cfg=None, reps: int = 15, drop: int = 5) -> float:
+    """p50 time-to-first-token for ONE 336px image through the flagship 1B5
+    assembly: device-side resize (336 -> 448/448/1024) + normalize ->
+    DINOv2-L/SigLIP-SO400M/SAM-B encode (Pallas flash attention) ->
+    gated-MLP projector -> token scatter -> RWKV-7 prefill (1024 image +
+    32 text tokens) -> argmax first token. Protocol: 15 reps, drop the
+    first 5, p50 (reference app/benchmark_gpu.py:121-148); the BASELINE
+    north-star gate is <= 150 ms."""
+    import numpy as np
+
+    from visualrwkv_tpu.config import RWKVConfig, VisionConfig, VLMConfig
+    from visualrwkv_tpu.data.conversation import IMAGE_TOKEN_INDEX
+    from visualrwkv_tpu.data.transforms import resize_images
+    from visualrwkv_tpu.models.visualrwkv import init_visualrwkv_params, vlm_forward
+
+    if cfg is None:
+        cfg = VLMConfig(
+            rwkv=RWKVConfig(n_layer=24, n_embd=2048, vocab_size=65536,
+                            head_size=64, compute_dtype="bfloat16", ctx_len=2048),
+            vision=VisionConfig(),  # flagship triple tower @448 + SAM-1024
+            proj_type="mlp",
+            num_token_per_image=1024,
+        )
+
+    # init + bf16 cast in ONE jitted program so the fp32 intermediates of the
+    # ~2.3B-param assembly never coexist with the bf16 copy in HBM
+    def init_bf16(key):
+        p = init_visualrwkv_params(key, cfg)
+        return jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), p)
+
+    params = jax.jit(init_bf16)(jax.random.PRNGKey(0))
+
+    tower_sizes = {
+        t: (cfg.vision.sam_image_size if t == "sam" else cfg.vision.image_size)
+        for t in cfg.vision.towers
+    }
+
+    @jax.jit
+    def first_token(params, img336, ids):
+        images = {t: resize_images(img336, s) for t, s in tower_sizes.items()}
+        logits = vlm_forward(params, cfg, ids, images)
+        return jnp.argmax(logits[:, -1], axis=-1)
+
+    img = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (1, 336, 336, 3), np.uint8)
+    )
+    ids_np = np.full((1, cfg.num_token_per_image + 32), 7, np.int32)
+    ids_np[:, : cfg.num_token_per_image] = IMAGE_TOKEN_INDEX
+    ids = jnp.asarray(ids_np)
+
+    lat = []
+    for _ in range(reps):
+        t0 = time.time()
+        int(first_token(params, img, ids)[0])
+        lat.append(time.time() - t0)
+    lat = sorted(lat[drop:])
+    return round(lat[len(lat) // 2] * 1e3, 1)
+
+
+def measure_decode() -> dict:
     from visualrwkv_tpu.config import RWKVConfig
     from visualrwkv_tpu.models import rwkv7
 
@@ -158,7 +215,7 @@ def main():
 
     tok_per_s = B * DECODE_T / decode_i8s16_s
     baseline = 2000.0
-    result = {
+    return {
         "metric": "decode_tokens_per_sec_per_chip_1B5_int8_bf16state_B32",
         "value": round(tok_per_s, 1),
         "unit": "tokens/s/chip",
@@ -171,6 +228,19 @@ def main():
             "device": str(jax.devices()[0]),
         },
     }
+
+
+def main():
+    if os.environ.get("BENCH_SKIP_PROBE") != "1":
+        wait_for_tpu()
+    result = measure_decode()
+    # image-inclusive TTFT (BASELINE gate <= 150 ms @336px); runs after the
+    # decode section returns so its HBM buffers are released first
+    if os.environ.get("BENCH_TTFT", "1") == "1":
+        try:
+            result["extra"]["ttft_p50_ms_336px"] = measure_ttft_336px()
+        except Exception as e:  # keep the headline even if the VLM leg dies
+            result["extra"]["ttft_error"] = f"{type(e).__name__}: {e}"[:300]
     print(json.dumps(result))
 
 

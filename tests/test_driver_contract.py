@@ -94,3 +94,13 @@ def test_dryrun_reexec_fails_loudly_on_child_error(monkeypatch):
     monkeypatch.setattr(subprocess, "run", lambda *a, **k: FakeProc())
     with pytest.raises(RuntimeError, match="rc=3"):
         graft.dryrun_multichip(4)
+
+
+def test_bench_ttft_smoke():
+    """measure_ttft_336px flows end to end on a tiny triple-tower config
+    (device resize -> encode -> scatter -> prefill -> argmax first token)."""
+    bench = _load("bench_under_test3", "bench.py")
+    graft = _load("graft_for_cfg", "__graft_entry__.py")
+    cfg = graft._tiny_vlm_cfg(triple=True)
+    ms = bench.measure_ttft_336px(cfg=cfg, reps=3, drop=1)
+    assert isinstance(ms, float) and ms > 0
