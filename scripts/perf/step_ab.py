@@ -35,15 +35,25 @@ def main():
     p.add_argument("--x", type=int, default=32, help="async chain length")
     p.add_argument("--rounds", type=int, default=3)
     p.add_argument("--stacked", type=int, default=1)
+    p.add_argument("--wkv_block", type=int, default=1,
+                   help="grid-block factor for the fused WKV path")
+    p.add_argument("--kchunk", type=int, default=32,
+                   help="fused-path kernel-chunk ceiling (solve stays capped)")
     p.add_argument("--remat", default="full", choices=["full", "none", "dots", "save_wkv"])
     args = p.parse_args()
 
     from visualrwkv_tpu.config import RWKVConfig, TrainConfig, VisionConfig, VLMConfig
     from visualrwkv_tpu.models.visualrwkv import init_visualrwkv_params
-    from visualrwkv_tpu.ops.wkv7 import set_wkv_impl
+    from visualrwkv_tpu.ops.wkv7 import (
+        set_wkv_block,
+        set_wkv_impl,
+        set_wkv_kernel_chunk,
+    )
     from visualrwkv_tpu.train.trainer import Trainer
 
     set_wkv_impl(args.impl)
+    set_wkv_block(args.wkv_block)
+    set_wkv_kernel_chunk(args.kchunk)
 
     vlm_cfg = VLMConfig(
         rwkv=RWKVConfig(n_layer=args.layers, n_embd=args.embd,

@@ -209,12 +209,16 @@ def test_impl_packed_dispatch_matches_pallas():
         return jnp.sum(y.astype(jnp.float32) ** 2) + jnp.sum(s**2)
 
     outs = {}
+    # pin the kernel chunk to 16: the packed kernels have no two-level solve,
+    # so bit-exactness with the head layout only holds at equal chunking
+    w7.set_wkv_kernel_chunk(16)
     for mode in ("pallas", "packed"):
         w7.set_wkv_impl(mode)
         try:
             outs[mode] = (loss(*inputs), jax.grad(loss, argnums=(0, 2))(*inputs))
         finally:
             w7.set_wkv_impl("auto")
+            w7.set_wkv_kernel_chunk(32)
     l0, g0 = outs["pallas"]
     l1, g1 = outs["packed"]
     assert float(l0) == float(l1)
@@ -230,3 +234,67 @@ def test_impl_packed_dispatch_matches_pallas():
     finally:
         w7.set_wkv_impl("auto")
     assert np.isfinite(float(l_odd))
+
+
+@pytest.mark.parametrize("block", [2, 4])
+def test_blocked_kernels_bit_match_block1(block):
+    """block>1 packs N chunks per grid step — pure scheduling, so forward,
+    fwd_res (incl. the thinned checkpoint stream) and every backward gradient
+    must be BIT-identical to block=1 (stability envelope stays that of the
+    chunk length; docs/wkv_chunk_stability.md)."""
+    from visualrwkv_tpu.ops.wkv7_pallas import (
+        wkv7_pallas_bwd,
+        wkv7_pallas_fwd_res,
+    )
+
+    inputs = make_inputs(jax.random.PRNGKey(3), B=2, T=128, H=2, N=16)
+    inputs = tuple(x.astype(jnp.bfloat16) for x in inputs)
+    y1, s1 = wkv7_pallas(*inputs, chunk=16, block=1)
+    y2, s2 = wkv7_pallas(*inputs, chunk=16, block=block)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+    yr1, sr1, zin1 = wkv7_pallas_fwd_res(*inputs, chunk=16, block=1)
+    yr2, sr2, zin2 = wkv7_pallas_fwd_res(*inputs, chunk=16, block=block)
+    np.testing.assert_array_equal(np.asarray(yr1), np.asarray(yr2))
+    # the checkpoint stream is DENSE (one state per chunk) at any block
+    assert zin2.shape == zin1.shape
+    np.testing.assert_array_equal(np.asarray(zin1), np.asarray(zin2))
+
+    dy = jax.random.normal(jax.random.PRNGKey(9), y1.shape, jnp.float32).astype(y1.dtype)
+    dzf = jax.random.normal(jax.random.PRNGKey(10), s1.shape, jnp.float32)
+    g1 = wkv7_pallas_bwd(*inputs, zin1, dy, dzf, chunk=16, block=1)
+    g2 = wkv7_pallas_bwd(*inputs, zin2, dy, dzf, chunk=16, block=block)
+    for name, a, b in zip("rwkvabs", g1, g2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=f"d{name}")
+
+
+def test_dispatcher_block_selection():
+    """set_wkv_block picks the largest feasible factor; T not divisible by
+    chunk*block falls back to smaller factors / block=1."""
+    import importlib
+
+    # ops/__init__ re-exports the wkv7 FUNCTION, which shadows the module
+    # under plain `import ... as`; fetch the module itself
+    w7mod = importlib.import_module("visualrwkv_tpu.ops.wkv7")
+
+    inputs = make_inputs(jax.random.PRNGKey(4), B=1, T=48, H=2, N=16)
+    w7mod.set_wkv_impl("pallas")
+    w7mod.set_wkv_block(4)
+    try:
+        # T=48, chunk 16 -> nc=3: block 4 and 2 don't divide, falls to 1
+        y_blk, s_blk = w7mod.wkv7(*inputs, chunk=16)
+        w7mod.set_wkv_block(1)
+        y_1, s_1 = w7mod.wkv7(*inputs, chunk=16)
+        np.testing.assert_array_equal(np.asarray(y_blk), np.asarray(y_1))
+
+        # T=128 -> nc=8: block 4 applies; still bit-identical
+        inputs2 = make_inputs(jax.random.PRNGKey(5), B=1, T=128, H=2, N=16)
+        w7mod.set_wkv_block(4)
+        y4, _ = w7mod.wkv7(*inputs2, chunk=16)
+        w7mod.set_wkv_block(1)
+        y1, _ = w7mod.wkv7(*inputs2, chunk=16)
+        np.testing.assert_array_equal(np.asarray(y4), np.asarray(y1))
+    finally:
+        w7mod.set_wkv_impl("auto")
+        w7mod.set_wkv_block(1)

@@ -153,3 +153,35 @@ def test_first_optimizer_step_regime_gradients_finite():
     for i, g in enumerate(grads):
         ga = np.asarray(g, np.float32)
         assert np.isfinite(ga).all(), f"grad {i} not finite"
+
+
+def test_two_level_solve_kernel_chunk32_matches_chunk16_envelope():
+    """The round-3 kernel-chunk growth: (kernel chunk 32, solve 16) must err
+    like plain chunk 16 on the adversarial construction, NOT like the full
+    chunk-32 doubling (which explodes).  Locks ops.wkv7_pallas._btri_solve's
+    stability claim on the interpret path; the on-TPU check lives in
+    scripts/perf (hardware lowering is the harsher environment,
+    docs/wkv_chunk_stability.md)."""
+    from visualrwkv_tpu.ops.wkv7_pallas import wkv7_pallas
+
+    args = _adversarial_inputs()
+    y_ref, _ = w7.wkv7_reference(*_as(args, jnp.float32))
+    ref = np.asarray(y_ref, np.float32)
+    scale = np.abs(ref).max()
+
+    y16, _ = wkv7_pallas(*_as(args, jnp.bfloat16), chunk=16, solve=16)
+    err16 = np.abs(np.asarray(y16, np.float32) - ref).max() / scale
+
+    y32, _ = wkv7_pallas(*_as(args, jnp.bfloat16), chunk=32, solve=16)
+    y32 = np.asarray(y32, np.float32)
+    assert np.isfinite(y32).all()
+    err32 = np.abs(y32 - ref).max() / scale
+    # same envelope as 16 (identical to first order; allow 2x headroom)
+    assert err32 < 2 * max(err16, 1e-3)
+
+    # ... whereas the full-doubling solve at 32 degrades by orders of magnitude
+    y32full, _ = wkv7_pallas(*_as(args, jnp.bfloat16), chunk=32, solve=32)
+    y32full = np.asarray(y32full, np.float32)
+    err32full = (np.abs(y32full - ref).max() / scale
+                 if np.isfinite(y32full).all() else np.inf)
+    assert err32full > 10 * err32

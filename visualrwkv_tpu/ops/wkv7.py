@@ -355,6 +355,35 @@ def wkv7_chunked(
 
 _IMPL_MODE = "auto"  # "auto" | "pallas" | "chunked"
 
+# chunks per Pallas grid step for the fused path (pure scheduling: outputs
+# are bit-identical at any block factor; the stability envelope is set by
+# the SOLVE length alone). >1 shrinks grid fixed work.
+_WKV_BLOCK = 1
+
+# kernel-chunk ceiling for the fused path: the stability-capped length (16)
+# becomes the block-substitution SOLVE length and the kernel chunk grows to
+# this ceiling when T divides. MEASURED (v5e, 0B4 train shapes, chunk 16 ->
+# 32): fwd 2.65 -> 2.00 ms, fwd_res 3.51 -> 2.08, bwd 5.92 -> 3.58 per layer
+# (chain -37%) with the adversarial-construction error IDENTICAL to plain
+# chunk 16 (2.9e-3; the full-doubling chunk 32 errs 3.5e4).
+_WKV_KCHUNK = 32
+
+
+def set_wkv_block(block: int) -> None:
+    """Chunks per grid step for the fused Pallas path (1, 2, 4, ...)."""
+    global _WKV_BLOCK
+    assert block >= 1, block
+    _WKV_BLOCK = block
+
+
+def set_wkv_kernel_chunk(kchunk: int) -> None:
+    """Kernel-chunk ceiling for the fused path (the SOLVE length stays at
+    the dispatcher's stability cap; this only re-blocks the dots/checkpoint
+    granularity)."""
+    global _WKV_KCHUNK
+    assert kchunk >= 1, kchunk
+    _WKV_KCHUNK = kchunk
+
 
 def set_wkv_impl(mode: str) -> None:
     """Select the forward implementation ("auto" uses Pallas on TPU;
@@ -467,31 +496,64 @@ _wkv7_cv_chunked.defvjp(_cv_chunked_fwd, _cv_chunked_bwd)
 # -- fully-fused Pallas custom_vjp (TPU) -------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _wkv7_cv_pallas(chunk, r, w_raw, k, v, a, b, initial_state):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _wkv7_cv_pallas_blocked(chunk, block, solve, r, w_raw, k, v, a, b,
+                            initial_state):
     from visualrwkv_tpu.ops.wkv7_pallas import wkv7_pallas
 
-    return wkv7_pallas(r, w_raw, k, v, a, b, initial_state, chunk=chunk)
+    return wkv7_pallas(r, w_raw, k, v, a, b, initial_state, chunk=chunk,
+                       block=block, solve=solve)
 
 
-def _cv_pallas_fwd(chunk, r, w_raw, k, v, a, b, initial_state):
+def _cv_pallas_fwd(chunk, block, solve, r, w_raw, k, v, a, b, initial_state):
     from visualrwkv_tpu.ops.wkv7_pallas import wkv7_pallas_fwd_res
 
-    y, s, zin = wkv7_pallas_fwd_res(r, w_raw, k, v, a, b, initial_state, chunk=chunk)
+    y, s, zin = wkv7_pallas_fwd_res(r, w_raw, k, v, a, b, initial_state,
+                                    chunk=chunk, block=block, solve=solve)
     return (y, s), (r, w_raw, k, v, a, b, zin, initial_state)
 
 
-def _cv_pallas_bwd(chunk, residuals, cotangents):
+def _cv_pallas_bwd(chunk, block, solve, residuals, cotangents):
     from visualrwkv_tpu.ops.wkv7_pallas import wkv7_pallas_bwd
 
     r, w_raw, k, v, a, b, zin, initial_state = residuals
     dy, dstate = cotangents
-    grads = wkv7_pallas_bwd(r, w_raw, k, v, a, b, zin, dy, dstate, chunk=chunk)
+    grads = wkv7_pallas_bwd(r, w_raw, k, v, a, b, zin, dy, dstate, chunk=chunk,
+                            block=block, solve=solve)
     d_init = None if initial_state is None else grads[6].astype(initial_state.dtype)
     return (*grads[:6], d_init)
 
 
-_wkv7_cv_pallas.defvjp(_cv_pallas_fwd, _cv_pallas_bwd)
+_wkv7_cv_pallas_blocked.defvjp(_cv_pallas_fwd, _cv_pallas_bwd)
+
+
+def _wkv7_cv_pallas(chunk, r, w_raw, k, v, a, b, initial_state):
+    """Head-layout fused path.
+
+    ``chunk`` here is the STABILITY length (what the dispatcher capped at
+    16): it becomes the block-substitution SOLVE length, while the kernel
+    chunk grows to ``chunk * f <= _WKV_KCHUNK`` when T divides — larger
+    chunks halve the checkpoint stream and batch the MXU dots without
+    touching the stability envelope (ops.wkv7_pallas._btri_solve).
+    ``_WKV_BLOCK`` additionally packs kernel chunks per grid step (pure
+    scheduling, bit-identical)."""
+    T = r.shape[1]
+    kchunk = chunk
+    f = _WKV_KCHUNK // chunk
+    while f > 1:  # largest kernel chunk <= _WKV_KCHUNK that divides T
+        if T % (chunk * f) == 0:
+            kchunk = chunk * f
+            break
+        f //= 2
+    block = 1
+    cand = _WKV_BLOCK
+    while cand > 1:  # largest feasible grid-block factor <= _WKV_BLOCK
+        if T % (kchunk * cand) == 0:
+            block = cand
+            break
+        cand //= 2
+    return _wkv7_cv_pallas_blocked(kchunk, block, chunk, r, w_raw, k, v, a, b,
+                                   initial_state)
 
 
 # -- packed-lane Pallas custom_vjp (opt-in via set_wkv_impl("packed")) -------

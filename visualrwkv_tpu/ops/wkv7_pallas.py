@@ -74,10 +74,61 @@ def _btri_inverse(m_strict: Array, L: int) -> Array:
     return t
 
 
-def _wkv7_chunk_math(z, r, w, k, v, a, b, *, L: int, mxu_dtype):
+def _btri_solve(m_strict: Array, rhs: Array, L: int, S: int) -> Array:
+    """u = (I - M)^{-1} rhs via BLOCK forward substitution with length-``S``
+    diagonal solves: u_i = T_ii (rhs_i + sum_{j<i} M_ij u_j).
+
+    The explicit inverse is only ever materialized for the S x S diagonal
+    blocks, whose entries stay within fp32's cancellation budget — the
+    cross-block terms go through the BOUNDED u_j instead of through the
+    combinatorially-growing entries of the full T. Measured on the
+    adversarial sign-alternating construction (docs/wkv_chunk_stability.md):
+    L=32 full doubling errs 3.5e4, L=32/64 with S=16 block substitution errs
+    2.9e-3 — IDENTICAL to the plain chunk-16 path. This is what lets the
+    kernel chunk grow past the stability cap: the cap applies to the SOLVE
+    length, not the chunk length."""
+    if S >= L:
+        return _bdot(_btri_inverse(m_strict, L), rhs)
+    n = L // S
+    us = []
+    for i in range(n):
+        q = rhs[:, i * S:(i + 1) * S]
+        for j in range(i):
+            q = q + _bdot(m_strict[:, i * S:(i + 1) * S, j * S:(j + 1) * S], us[j])
+        t_ii = _btri_inverse(m_strict[:, i * S:(i + 1) * S, i * S:(i + 1) * S], S)
+        us.append(_bdot(t_ii, q))
+    return jnp.concatenate(us, axis=1)
+
+
+def _btri_solve_t(m_strict: Array, du: Array, L: int, S: int) -> Array:
+    """dq = (I - M)^{-T} du — the transposed solve for the backward, by the
+    same block substitution run in reverse block order (strictly UPPER
+    triangular system): dq_i = T_ii^T (du_i + sum_{j>i} M_ji^T dq_j)."""
+    if S >= L:
+        return _bdot(_btr(_btri_inverse(m_strict, L)), du)
+    n = L // S
+    dqs = [None] * n
+    for i in reversed(range(n)):
+        q = du[:, i * S:(i + 1) * S]
+        for j in range(i + 1, n):
+            q = q + _bdot(_btr(m_strict[:, j * S:(j + 1) * S, i * S:(i + 1) * S]),
+                          dqs[j])
+        t_ii = _btri_inverse(m_strict[:, i * S:(i + 1) * S, i * S:(i + 1) * S], S)
+        dqs[i] = _bdot(_btr(t_ii), q)
+    return jnp.concatenate(dqs, axis=1)
+
+
+def _wkv7_chunk_math(z, r, w, k, v, a, b, *, L: int, mxu_dtype,
+                     solve: int = 0):
     """One chunk of the fused forward on VALUES (all [G, L, N] fp32 except v
     [G, L, N] in mxu_dtype; z [G, N_k, N_v] fp32).  Returns (y fp32-ish, z).
-    Shared by the head-layout and packed-lane kernels."""
+    Shared by the head-layout and packed-lane kernels.
+
+    ``solve`` (default min(L, 16)) is the length of the stable diagonal
+    solves inside the (I - M)^{-1} block substitution — the stability
+    envelope is set by ``solve``, NOT by ``L`` (see _btri_solve), so the
+    chunk can be 32+ for MXU/bandwidth efficiency while keeping the
+    envelope of the capped solve."""
     f32 = jnp.float32
     bf = mxu_dtype
     rows = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
@@ -114,10 +165,10 @@ def _wkv7_chunk_math(z, r, w, k, v, a, b, *, L: int, mxu_dtype):
     k_h32 = k * jnp.exp(-g)
     m_mat = _bdot(a_t32, _btr(b_h32)) * strict
     n_mat = _bdot(a_t32, _btr(k_h32)) * strict
-    t_inv = _btri_inverse(m_mat, L)
 
     zb = z.astype(bf)
-    u = _bdot(t_inv, _bdot(n_mat, v.astype(f32)) + _bdot(a_t32, z))
+    S = solve if solve else min(L, 16)
+    u = _btri_solve(m_mat, _bdot(n_mat, v.astype(f32)) + _bdot(a_t32, z), L, S)
     sb = (_bdot(r_t, _btr(b_h)) * incl).astype(bf)
     sk = (_bdot(r_t, _btr(k_h)) * incl).astype(bf)
     ub = u.astype(bf)
@@ -128,7 +179,19 @@ def _wkv7_chunk_math(z, r, w, k, v, a, b, *, L: int, mxu_dtype):
 
 def _wkv7_kernel(init_ref, r_ref, w_ref, k_ref, v_ref, a_ref, b_ref,
                  y_ref, s_out_ref, z_scratch, *, L: int, nc: int, G: int,
-                 mxu_dtype):
+                 mxu_dtype, block: int = 1, zin_ref=None, solve: int = 0):
+    """One grid step processes ``block`` consecutive length-``L`` chunks.
+
+    The sub-chunks run the EXACT chunk-L math sequentially (state threaded
+    through the contractive S-update), so outputs are bit-identical to
+    block=1 at the same L — the stability envelope is that of L, not L*block
+    (docs/wkv_chunk_stability.md) — while grid steps (per-program fixed work,
+    DMA setup) shrink by the block factor.
+
+    When ``zin_ref`` is given (fwd_res), every sub-chunk's INPUT state is
+    checkpointed — the residual stream is identical to block=1, so the
+    backward never recomputes (measured: a recompute-based backward lost
+    more to the extra chunk math than blocking saved)."""
     c = pl.program_id(1)
     f32 = jnp.float32
 
@@ -139,13 +202,19 @@ def _wkv7_kernel(init_ref, r_ref, w_ref, k_ref, v_ref, a_ref, b_ref,
     # All G heads processed as BATCHED dots (one program = G heads).
     # For bf16 inputs, MXU dots take bf16 operands with fp32 accumulation (the
     # reference CUDA kernel's precision model); fp32 inputs keep fp32 dots.
-    y, z = _wkv7_chunk_math(
-        z_scratch[...],
-        r_ref[...].astype(f32), w_ref[...].astype(f32), k_ref[...].astype(f32),
-        v_ref[...].astype(mxu_dtype), a_ref[...].astype(f32),
-        b_ref[...].astype(f32), L=L, mxu_dtype=mxu_dtype,
-    )
-    y_ref[...] = y.astype(y_ref.dtype)
+    z = z_scratch[...]
+    for i in range(block):
+        if zin_ref is not None:
+            zin_ref[:, i] = z
+        sl = slice(i * L, (i + 1) * L)
+        y, z = _wkv7_chunk_math(
+            z,
+            r_ref[:, sl].astype(f32), w_ref[:, sl].astype(f32),
+            k_ref[:, sl].astype(f32), v_ref[:, sl].astype(mxu_dtype),
+            a_ref[:, sl].astype(f32), b_ref[:, sl].astype(f32),
+            L=L, mxu_dtype=mxu_dtype, solve=solve,
+        )
+        y_ref[:, sl] = y.astype(y_ref.dtype)
     z_scratch[...] = z
 
     @pl.when(c == nc - 1)
@@ -153,7 +222,7 @@ def _wkv7_kernel(init_ref, r_ref, w_ref, k_ref, v_ref, a_ref, b_ref,
         s_out_ref[...] = z
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
+@functools.partial(jax.jit, static_argnames=("chunk", "block", "solve"))
 def wkv7_pallas(
     r: Array,
     w_raw: Array,
@@ -163,13 +232,19 @@ def wkv7_pallas(
     b: Array,
     initial_state: Optional[Array] = None,
     chunk: int = DEFAULT_CHUNK,
+    block: int = 1,
+    solve: int = 0,
 ) -> Tuple[Array, Array]:
-    """Fused forward. Same semantics as wkv7_chunked; T % chunk == 0."""
+    """Fused forward. Same semantics as wkv7_chunked; T % (chunk*block) == 0.
+
+    ``block`` packs that many length-``chunk`` solves into one grid step —
+    bit-identical outputs, fewer grid steps (see _wkv7_kernel)."""
     B, T, H, N = r.shape
-    if T % chunk != 0:
-        raise ValueError(f"T={T} must be a multiple of chunk={chunk}")
+    if T % (chunk * block) != 0:
+        raise ValueError(f"T={T} must be a multiple of chunk*block={chunk * block}")
     L = chunk
-    nc = T // L
+    Lo = chunk * block
+    nc = T // Lo
     BH = B * H
 
     def flat(x):
@@ -181,14 +256,15 @@ def wkv7_pallas(
     else:
         z0 = jnp.swapaxes(initial_state.astype(jnp.float32), -1, -2).reshape(BH, N, N)
 
-    G = _pick_g(BH, L, N, fp32_bufs=12)
+    G = _pick_g(BH, L, N, fp32_bufs=12, io_L=Lo)
 
-    in_spec = pl.BlockSpec((G, L, N), lambda bh, c: (bh, c, 0), memory_space=pltpu.VMEM)
+    in_spec = pl.BlockSpec((G, Lo, N), lambda bh, c: (bh, c, 0), memory_space=pltpu.VMEM)
     state_spec = pl.BlockSpec((G, N, N), lambda bh, c: (bh, 0, 0), memory_space=pltpu.VMEM)
 
     mxu_dtype = jnp.bfloat16 if r.dtype == jnp.bfloat16 else jnp.float32
     y, s_out = pl.pallas_call(
-        functools.partial(_wkv7_kernel, L=L, nc=nc, G=G, mxu_dtype=mxu_dtype),
+        functools.partial(_wkv7_kernel, L=L, nc=nc, G=G, mxu_dtype=mxu_dtype,
+                          block=block, solve=solve),
         grid=(BH // G, nc),
         in_specs=[state_spec] + [in_spec] * 6,
         out_specs=(in_spec, state_spec),
@@ -596,30 +672,41 @@ def wkv7_step_pallas(state: Array, r: Array, w_raw: Array, k: Array,
 
 
 def _pick_g(BH: int, L: int = 64, N: int = 64, fp32_bufs: int = 12,
-            budget: int = 11 * 2**20) -> int:
+            budget: int = 11 * 2**20, io_L: int = 0) -> int:
     """Heads per program, bounded by a VMEM estimate (double-buffered input
     blocks + fp32 intermediates; the backward kernel holds ~3x the forward's
-    live set, so it passes a larger fp32_bufs).
+    live set, so it passes a larger fp32_bufs). ``io_L`` is the tokens-per-
+    grid-step IO block length when it differs from the math chunk ``L``
+    (blocked kernels: io_L = L * block).
 
     MEASURED (v5e, B8 T2048 H16 N64 chunk 32): G=16 is 25% faster than G=8
     on the backward (3.56 vs 4.72 ms/layer, bit-identical outputs) and ~14%
     on the forward — fewer grid programs amortize the per-program fixed work
     (mask iotas, scratch IO, DMA setup). G=32 fails to compile for the
-    backward (VMEM), and measures as noise vs 16 on the forward."""
-    per_g = fp32_bufs * max(L * L, L * N) * 4 + 8 * L * N * 2
+    backward (VMEM), and measures as noise vs 16 on the forward. Re-swept at
+    chunk 16 round 3: {8,16,32,64} within 3% — the choice is flat there."""
+    per_g = fp32_bufs * max(L * L, L * N) * 4 + 8 * max(io_L, L) * N * 2
     for cand in (16, 8, 4, 2):
         if BH % cand == 0 and cand * per_g <= budget:
             return cand
     return 1
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
+@functools.partial(jax.jit, static_argnames=("chunk", "block", "solve"))
 def wkv7_pallas_fwd_res(r, w_raw, k, v, a, b, initial_state=None,
-                        chunk: int = DEFAULT_CHUNK):
-    """Forward emitting (y, final_state, chunk-input states) for the backward."""
+                        chunk: int = DEFAULT_CHUNK, block: int = 1,
+                        solve: int = 0):
+    """Forward emitting (y, final_state, chunk-input states) for the backward.
+
+    ``block`` only re-blocks the grid: the checkpoint stream stays one state
+    per CHUNK ([BH, T//chunk, N, N], identical to block=1), so the backward
+    reads states instead of recomputing them."""
     B, T, H, N = r.shape
+    if T % (chunk * block) != 0:
+        raise ValueError(f"T={T} must be a multiple of chunk*block={chunk * block}")
     L = chunk
-    nc = T // L
+    Lo = chunk * block
+    nc = T // Lo
     BH = B * H
 
     def flat(x):
@@ -631,27 +718,19 @@ def wkv7_pallas_fwd_res(r, w_raw, k, v, a, b, initial_state=None,
     else:
         z0 = jnp.swapaxes(initial_state.astype(jnp.float32), -1, -2).reshape(BH, N, N)
 
-    G = _pick_g(BH, L, N, fp32_bufs=12)
-    in_spec = pl.BlockSpec((G, L, N), lambda bh, c: (bh, c, 0), memory_space=pltpu.VMEM)
+    G = _pick_g(BH, L, N, fp32_bufs=12, io_L=Lo)
+    in_spec = pl.BlockSpec((G, Lo, N), lambda bh, c: (bh, c, 0), memory_space=pltpu.VMEM)
     state_spec = pl.BlockSpec((G, N, N), lambda bh, c: (bh, 0, 0), memory_space=pltpu.VMEM)
-    zin_spec = pl.BlockSpec((G, 1, N, N), lambda bh, c: (bh, c, 0, 0), memory_space=pltpu.VMEM)
+    zin_spec = pl.BlockSpec((G, block, N, N), lambda bh, c: (bh, c, 0, 0),
+                            memory_space=pltpu.VMEM)
     mxu_dtype = jnp.bfloat16 if r.dtype == jnp.bfloat16 else jnp.float32
 
     def kernel(init_ref, r_ref, w_ref, k_ref, v_ref, a_ref, b_ref,
                y_ref, s_out_ref, zin_ref, z_scratch):
-        c = pl.program_id(1)
-        for gi in range(G):
-            @pl.when(c == 0)
-            def _(gi=gi):
-                zin_ref[gi, 0] = init_ref[gi]
-
-            @pl.when(c != 0)
-            def _(gi=gi):
-                zin_ref[gi, 0] = z_scratch[gi]
-
         _wkv7_kernel(init_ref, r_ref, w_ref, k_ref, v_ref, a_ref, b_ref,
                      y_ref, s_out_ref, z_scratch, L=L, nc=nc, G=G,
-                     mxu_dtype=mxu_dtype)
+                     mxu_dtype=mxu_dtype, block=block, zin_ref=zin_ref,
+                     solve=solve)
 
     y, s_out, zin = pl.pallas_call(
         kernel,
@@ -661,7 +740,7 @@ def wkv7_pallas_fwd_res(r, w_raw, k, v, a, b, initial_state=None,
         out_shape=(
             jax.ShapeDtypeStruct((BH, T, N), r.dtype),
             jax.ShapeDtypeStruct((BH, N, N), jnp.float32),
-            jax.ShapeDtypeStruct((BH, nc, N, N), jnp.float32),
+            jax.ShapeDtypeStruct((BH, T // L, N, N), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((G, N, N), jnp.float32)],
         interpret=jax.default_backend() == "cpu",
@@ -672,10 +751,13 @@ def wkv7_pallas_fwd_res(r, w_raw, k, v, a, b, initial_state=None,
     return y, final_state, zin
 
 
-def _wkv7_bwd_math(Z0, dZ1, r, w, k, v, a, b, dY, *, L: int):
+def _wkv7_bwd_math(Z0, dZ1, r, w, k, v, a, b, dY, *, L: int, solve: int = 0):
     """One chunk of the hand-derived VJP on VALUES (all fp32).  Returns
     (dr, dw, dk, dv, da, db, dZ0).  Shared by the head-layout and
-    packed-lane backward kernels."""
+    packed-lane backward kernels.  ``solve`` as in _wkv7_chunk_math: the
+    forward and transposed (I-M) solves run as length-``solve`` block
+    substitutions, keeping the backward's stability envelope equal to the
+    forward's at any chunk length."""
     f32 = jnp.float32
     rows = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
@@ -701,19 +783,21 @@ def _wkv7_bwd_math(Z0, dZ1, r, w, k, v, a, b, dY, *, L: int):
     bbar = b * e_tail
     kbar = k * e_tail
 
+    S = solve if solve else min(L, 16)
     m_mat = _bdot(at, _btr(bh_)) * strict
     n_mat = _bdot(at, _btr(kh)) * strict
-    t_inv = _btri_inverse(m_mat, L)
     w_pre = _bdot(n_mat, v) + _bdot(at, Z0)
-    u = _bdot(t_inv, w_pre)
+    u = _btri_solve(m_mat, w_pre, L, S)
     sb = _bdot(rt, _btr(bh_)) * il
     sk = _bdot(rt, _btr(kh)) * il
 
     # ---- VJP ----
+    # For u = A^{-1} w (A = I - M): dw = A^{-T} du and dM = -dA = dw u^T —
+    # two solves total; the earlier T^T (du w^T) T^T route costs two extra
+    # LxL matmuls AND materializes the ill-conditioned explicit T.
     dU = _bdot(_btr(sb), dY) + _bdot(bbar, dZ1)
-    dWpre = _bdot(_btr(t_inv), dU)
-    dT = _bdot(dU, _btr(w_pre))
-    dM = _bdot(_bdot(_btr(t_inv), dT), _btr(t_inv)) * strict
+    dWpre = _btri_solve_t(m_mat, dU, L, S)
+    dM = _bdot(dWpre, _btr(u)) * strict
     dN = _bdot(dWpre, _btr(v)) * strict
     dV = _bdot(_btr(sk), dY) + _bdot(kbar, dZ1) + _bdot(_btr(n_mat), dWpre)
     dAt = _bdot(dWpre, _btr(Z0)) + _bdot(dM, bh_) + _bdot(dN, kh)
@@ -753,10 +837,17 @@ def _wkv7_bwd_math(Z0, dZ1, r, w, k, v, a, b, dY, *, L: int):
 def _wkv7_bwd_kernel(zin_ref, r_ref, w_ref, k_ref, v_ref, a_ref, b_ref,
                      dy_ref, dzf_ref,
                      dr_ref, dw_ref, dk_ref, dv_ref, da_ref, db_ref, dz0_ref,
-                     dz_scratch, *, L: int, nc: int, G: int):
+                     dz_scratch, *, L: int, nc: int, G: int,
+                     block: int = 1, mxu_dtype=jnp.float32, solve: int = 0):
     """Reverse-chunk-order VJP. Grid step c processes chunk nc-1-c; the state
     cotangent dZ is carried in VMEM scratch. All math fp32 (gradients are
-    precision-sensitive; the CUDA backward also accumulates in fp32)."""
+    precision-sensitive; the CUDA backward also accumulates in fp32).
+
+    With ``block`` > 1 the grid step covers ``block`` chunks; every chunk's
+    input state is in the checkpoint stream (fwd_res saves them densely), so
+    the kernel just walks the sub-chunks in reverse carrying dZ — no
+    recompute (a recompute-based variant measured SLOWER than block=1: the
+    extra chunk math outweighed the grid-overhead saving)."""
     c = pl.program_id(1)
     f32 = jnp.float32
 
@@ -764,34 +855,42 @@ def _wkv7_bwd_kernel(zin_ref, r_ref, w_ref, k_ref, v_ref, a_ref, b_ref,
     def _():
         dz_scratch[...] = dzf_ref[...]
 
-    dr, dw, dk, dv, da, db, dZ0 = _wkv7_bwd_math(
-        zin_ref[:, 0], dz_scratch[...],
-        r_ref[...].astype(f32), w_ref[...].astype(f32), k_ref[...].astype(f32),
-        v_ref[...].astype(f32), a_ref[...].astype(f32), b_ref[...].astype(f32),
-        dy_ref[...].astype(f32), L=L,
-    )
-
-    dr_ref[...] = dr.astype(dr_ref.dtype)
-    dw_ref[...] = dw.astype(dw_ref.dtype)
-    dk_ref[...] = dk.astype(dk_ref.dtype)
-    dv_ref[...] = dv.astype(dv_ref.dtype)
-    da_ref[...] = da.astype(da_ref.dtype)
-    db_ref[...] = db.astype(db_ref.dtype)
-    dz_scratch[...] = dZ0
+    dZ = dz_scratch[...]
+    for i in reversed(range(block)):
+        sl = slice(i * L, (i + 1) * L)
+        dr, dw, dk, dv, da, db, dZ = _wkv7_bwd_math(
+            zin_ref[:, i], dZ,
+            r_ref[:, sl].astype(f32), w_ref[:, sl].astype(f32),
+            k_ref[:, sl].astype(f32), v_ref[:, sl].astype(f32),
+            a_ref[:, sl].astype(f32), b_ref[:, sl].astype(f32),
+            dy_ref[:, sl].astype(f32), L=L, solve=solve,
+        )
+        dr_ref[:, sl] = dr.astype(dr_ref.dtype)
+        dw_ref[:, sl] = dw.astype(dw_ref.dtype)
+        dk_ref[:, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[:, sl] = dv.astype(dv_ref.dtype)
+        da_ref[:, sl] = da.astype(da_ref.dtype)
+        db_ref[:, sl] = db.astype(db_ref.dtype)
+    dz_scratch[...] = dZ
 
     @pl.when(c == nc - 1)  # grid last = FIRST chunk: d(initial state)
     def _():
-        dz0_ref[...] = dZ0
+        dz0_ref[...] = dZ
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
+@functools.partial(jax.jit, static_argnames=("chunk", "block", "solve"))
 def wkv7_pallas_bwd(r, w_raw, k, v, a, b, zin, dy, dzfinal,
-                    chunk: int = DEFAULT_CHUNK):
-    """Backward from saved chunk-input states. Returns grads for
+                    chunk: int = DEFAULT_CHUNK, block: int = 1,
+                    solve: int = 0):
+    """Backward from the dense per-chunk saved states ([BH, T//chunk, N, N],
+    as emitted by fwd_res at any block factor). Returns grads for
     (r, w_raw, k, v, a, b, initial_state)."""
     B, T, H, N = r.shape
+    if T % (chunk * block) != 0:
+        raise ValueError(f"T={T} must be a multiple of chunk*block={chunk * block}")
     L = chunk
-    nc = T // L
+    Lo = chunk * block
+    nc = T // Lo
     BH = B * H
 
     def flat(x):
@@ -800,17 +899,19 @@ def wkv7_pallas_bwd(r, w_raw, k, v, a, b, zin, dy, dzfinal,
     rf, wf, kf, vf, af, bf, dyf = (flat(x) for x in (r, w_raw, k, v, a, b, dy))
     dzf = jnp.swapaxes(dzfinal.astype(jnp.float32), -1, -2).reshape(BH, N, N)
 
-    G = _pick_g(BH, L, N, fp32_bufs=36)
+    G = _pick_g(BH, L, N, fp32_bufs=36, io_L=Lo)
     # reversed chunk order: grid step c reads/writes chunk nc-1-c
-    in_spec = pl.BlockSpec((G, L, N), lambda bh, c: (bh, nc - 1 - c, 0),
+    in_spec = pl.BlockSpec((G, Lo, N), lambda bh, c: (bh, nc - 1 - c, 0),
                            memory_space=pltpu.VMEM)
-    zin_spec = pl.BlockSpec((G, 1, N, N), lambda bh, c: (bh, nc - 1 - c, 0, 0),
+    zin_spec = pl.BlockSpec((G, block, N, N), lambda bh, c: (bh, nc - 1 - c, 0, 0),
                             memory_space=pltpu.VMEM)
     state_spec = pl.BlockSpec((G, N, N), lambda bh, c: (bh, 0, 0),
                               memory_space=pltpu.VMEM)
 
+    mxu_dtype = jnp.bfloat16 if r.dtype == jnp.bfloat16 else jnp.float32
     outs = pl.pallas_call(
-        functools.partial(_wkv7_bwd_kernel, L=L, nc=nc, G=G),
+        functools.partial(_wkv7_bwd_kernel, L=L, nc=nc, G=G, block=block,
+                          mxu_dtype=mxu_dtype, solve=solve),
         grid=(BH // G, nc),
         in_specs=[zin_spec] + [in_spec] * 7 + [state_spec],
         out_specs=tuple([in_spec] * 6 + [state_spec]),
