@@ -165,11 +165,24 @@ def _sam_flash_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref,
     )                                                           # [bq, bk]
     bq = s.shape[0]
 
-    # decomposed rel-pos bias for this key block: keys are the row-major
-    # grid positions kh in [c*rows, (c+1)*rows) x kw in [0, W)
-    rh = jax.lax.dynamic_slice(rh_ref[0], (0, c * rows), (bq, rows))
-    bias = rh[:, :, None] + rw_ref[0][:, None, :]               # [bq, rows, W]
-    s = s + bias.reshape(bq, rows * W)
+    # decomposed rel-pos bias for this key block: key m of the block is grid
+    # position (kh = c*rows + m//W, kw = m%W), so
+    #   bias[q, m] = rel_h[q, c*rows + m//W] + rel_w[q, m%W]
+    # — computed as TWO one-hot MXU dots (Mosaic's TC path lowers neither
+    # dynamic_slice nor the [bq, rows, W] -> [bq, bk] shape cast; iota
+    # compares + dots are the native formulation).
+    Hk = rh_ref.shape[-1]
+    bk = rows * W
+    m_h = jax.lax.broadcasted_iota(jnp.int32, (Hk, bk), 1)
+    h_i = jax.lax.broadcasted_iota(jnp.int32, (Hk, bk), 0)
+    se = (h_i == c * rows + m_h // W).astype(jnp.float32)       # [Hk, bk]
+    m_w = jax.lax.broadcasted_iota(jnp.int32, (W, bk), 1)
+    w_i = jax.lax.broadcasted_iota(jnp.int32, (W, bk), 0)
+    tw = (w_i == m_w % W).astype(jnp.float32)                   # [W, bk]
+    s = s + jax.lax.dot(rh_ref[0].astype(jnp.float32), se,
+                        preferred_element_type=jnp.float32)
+    s = s + jax.lax.dot(rw_ref[0].astype(jnp.float32), tw,
+                        preferred_element_type=jnp.float32)
 
     m_prev = m_ref[...][:, :1]
     l_prev = l_ref[...][:, :1]
