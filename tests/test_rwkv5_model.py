@@ -187,12 +187,14 @@ def test_detect_rwkv_version():
     info7 = detect_rwkv_version(x070)
     assert info7["version"] == "x070" and info7["n_layer"] == 4
 
-    legacy = {
+    x040 = {
         "emb.weight": z((512, 128)),
         "blocks.0.att.time_decay": z((128,)),  # v4: 1-D, no ln_x
+        "blocks.0.att.time_first": z((128,)),
     }
-    with pytest.raises(NotImplementedError):
-        detect_rwkv_version(legacy)
+    info4 = detect_rwkv_version(x040)
+    assert info4["version"] == "x040"
+    assert info4["n_head"] == 1 and info4["head_size"] == 128
 
 
 def test_detect_rwkv_version_combined_and_order_independent():

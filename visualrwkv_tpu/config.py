@@ -38,8 +38,9 @@ class RWKVConfig:
         if self.dim_att == 0:
             object.__setattr__(self, "dim_att", self.n_embd)
         if self.dim_ffn == 0:
-            if self.version == "x070":
-                # reference: 4x for v7 CMix (src/model.py:214)
+            if self.version in ("x070", "x040"):
+                # reference: 4x for v7 CMix (src/model.py:214); RWKV-4 World
+                # models also ship 4x FFNs
                 object.__setattr__(self, "dim_ffn", self.n_embd * 4)
             else:
                 # reference: 3.5x rounded to 32 for v5/v6 (train.py:104)

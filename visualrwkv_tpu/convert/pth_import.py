@@ -131,7 +131,7 @@ def detect_rwkv_version(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
     for k, t in keys.items():
         if k.startswith("blocks."):
             n_layer = max(n_layer, int(k.split(".")[1]) + 1)
-        if version < 6.0 and k.endswith("att.time_decay"):
+        if 5.0 <= version < 6.0 and k.endswith("att.time_decay"):
             shape = shape_of(t)
             n_head = shape[0]
             if len(shape) > 1 and shape[1] > 1:
@@ -145,12 +145,17 @@ def detect_rwkv_version(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
         tuple(getattr(emb, "shape", np.asarray(emb).shape)) if emb is not None
         else (None, None)
     )
-    name = {5.2: "x052", 6.0: "x060", 7.0: "x070"}.get(version)
+    name = {4.0: "x040", 5.2: "x052", 6.0: "x060", 7.0: "x070"}.get(version)
     if name is None:
         raise NotImplementedError(
             f"detected legacy RWKV v{version:.1f} checkpoint; supported "
-            "generations are 5.2 (x052), 6 (x060) and 7 (x070)"
+            "generations are 4 (x040), 5.2 (x052), 6 (x060) and 7 (x070)"
         )
+    if version == 4.0:
+        # headless per-channel recurrence: the adapter-era World models
+        # (VisualRWKV-v4 pairs a frozen RWKV-4 RNN with the BLIP2-style
+        # adapter; rwkv_rnn.py state layout aa/bb/pp per channel)
+        n_head, head_size = 1, n_embd
     if head_size is None and n_embd is not None and n_head:
         head_size = n_embd // n_head
     return {

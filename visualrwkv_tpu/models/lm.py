@@ -3,8 +3,9 @@
 The reference is a version-snapshot monorepo (one codebase per model
 generation); here every generation is a config (``RWKVConfig.version``):
 "x070" (RWKV-7, flagship), "x060" (RWKV-6, the published-paper backbone),
-and "x052" (legacy RWKV-5.2; static decay through the same diagonal-decay
-WKV6 kernel). Checkpoint families are auto-detected from state-dict keys by
+"x052" (legacy RWKV-5.2; static decay through the same diagonal-decay
+WKV6 kernel), and "x040" (the frozen RWKV-4 RNN the v4 adapter pairs with;
+per-channel aa/bb/pp recurrence, ops.wkv4). Checkpoint families are auto-detected from state-dict keys by
 convert.pth_import.detect_rwkv_version (reference app/modeling_rwkv.py:227-244).
 """
 
@@ -15,7 +16,7 @@ from typing import Any, Dict, List, Optional, Tuple
 import jax
 
 from visualrwkv_tpu.config import RWKVConfig
-from visualrwkv_tpu.models import rwkv5, rwkv6, rwkv7
+from visualrwkv_tpu.models import rwkv4, rwkv5, rwkv6, rwkv7
 from visualrwkv_tpu.models.rwkv7 import LayerState, embed, init_state  # noqa: F401
 
 Array = jax.Array
@@ -29,6 +30,8 @@ def init_lm_params(key: Array, cfg: RWKVConfig) -> Params:
         return rwkv6.init_rwkv6_params(key, cfg)
     if cfg.version == "x052":
         return rwkv5.init_rwkv5_params(key, cfg)
+    if cfg.version == "x040":
+        return rwkv4.init_rwkv4_params(key, cfg)
     raise ValueError(f"unknown RWKV version {cfg.version}")
 
 
@@ -57,6 +60,8 @@ def lm_forward(
         return rwkv6.rwkv6_forward(params, cfg, x, states, grad_cp, return_hidden)
     if cfg.version == "x052":
         return rwkv5.rwkv5_forward(params, cfg, x, states, grad_cp, return_hidden)
+    if cfg.version == "x040":
+        return rwkv4.rwkv4_forward(params, cfg, x, states, grad_cp, return_hidden)
     raise ValueError(f"unknown RWKV version {cfg.version}")
 
 
@@ -71,6 +76,8 @@ def lm_decode_step(params, cfg, token, states):
         return rwkv6.rwkv6_decode_step(params, cfg, token, states)
     if cfg.version == "x052":
         return rwkv5.rwkv5_decode_step(params, cfg, token, states)
+    if cfg.version == "x040":
+        return rwkv4.rwkv4_decode_step(params, cfg, token, states)
     raise ValueError(f"unknown RWKV version {cfg.version}")
 
 
@@ -81,6 +88,8 @@ def lm_decode_step_embed(params, cfg, x_emb, states):
         return rwkv6.rwkv6_decode_step_embed(params, cfg, x_emb, states)
     if cfg.version == "x052":
         return rwkv5.rwkv5_decode_step_embed(params, cfg, x_emb, states)
+    if cfg.version == "x040":
+        return rwkv4.rwkv4_decode_step_embed(params, cfg, x_emb, states)
     raise ValueError(f"unknown RWKV version {cfg.version}")
 
 
@@ -102,5 +111,8 @@ def lm_block_forward(
         return x, v_first, st
     if cfg.version == "x052":
         x, st = rwkv5.block_x052(params, cfg, layer_id, x, state)
+        return x, v_first, st
+    if cfg.version == "x040":
+        x, st = rwkv4.block_x040(params, cfg, layer_id, x, state)
         return x, v_first, st
     raise ValueError(f"unknown RWKV version {cfg.version}")
