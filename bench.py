@@ -230,6 +230,51 @@ def measure_decode() -> dict:
     }
 
 
+def measure_train_step_0b4(x: int = 16, rounds: int = 2, n_layer: int = 24,
+                           n_embd: int = 1024, micro_bsz: int = 2,
+                           accum: int = 4, T: int = 2048) -> float:
+    """Steady-state 0B4 training throughput (tok/s/chip): text-only RWKV-7
+    L24/C1024, bf16 params + fp32 masters, stacked layout, per-block remat,
+    fused two-level WKV kernels, micro-batch 2 x in-jit grad-accum 4 (global
+    batch 8 @ T2048 — the measured per-token optimum: the B2 activation
+    working set runs ~28%% faster than the same tokens as one B8 batch)."""
+    import numpy as np
+
+    from visualrwkv_tpu.config import RWKVConfig, TrainConfig, VisionConfig, VLMConfig
+    from visualrwkv_tpu.models.visualrwkv import init_visualrwkv_params
+    from visualrwkv_tpu.train.trainer import Trainer
+
+    vlm_cfg = VLMConfig(
+        rwkv=RWKVConfig(n_layer=n_layer, n_embd=n_embd, ctx_len=T),
+        vision=VisionConfig(towers=()),
+    )
+    cfg = TrainConfig(
+        micro_bsz=micro_bsz, accumulate_grad_batches=accum,
+        param_dtype="bfloat16", stacked_layers=True, grad_cp=True,
+        epoch_steps=100, epoch_count=1,
+    )
+    params = init_visualrwkv_params(jax.random.PRNGKey(0), vlm_cfg)
+    tr = Trainer(vlm_cfg, cfg, params, proj_dir="/tmp/bench_train", log_every=10**9)
+
+    rng = np.random.default_rng(0)
+    eff = micro_bsz * accum
+    ids = jnp.asarray(rng.integers(0, 65536, (eff, T)), jnp.int32)
+    labels = jnp.asarray(rng.integers(0, 65536, (eff, T)), jnp.int32)
+    batch = {"input_ids": ids, "labels": labels, "images": None}
+
+    p_, o_, s_ = tr.state.params, tr.state.opt_state, tr.state.step
+    p_, o_, s_, loss = tr.train_step(p_, o_, s_, batch)
+    float(loss)
+    best = 0.0
+    for _ in range(rounds):
+        t0 = time.time()
+        for _ in range(x):
+            p_, o_, s_, loss = tr.train_step(p_, o_, s_, batch)
+        float(loss)  # one scalar fetch syncs the whole chain
+        best = max(best, eff * T * x / (time.time() - t0))
+    return round(best, 1)
+
+
 def main():
     if os.environ.get("BENCH_SKIP_PROBE") != "1":
         wait_for_tpu()
@@ -241,6 +286,14 @@ def main():
             result["extra"]["ttft_p50_ms_336px"] = measure_ttft_336px()
         except Exception as e:  # keep the headline even if the VLM leg dies
             result["extra"]["ttft_error"] = f"{type(e).__name__}: {e}"[:300]
+    # 0B4 training throughput (driver-recorded evidence for the train claims)
+    if os.environ.get("BENCH_TRAIN", "1") == "1":
+        try:
+            result["extra"]["train_tok_per_s_0B4_B2a4"] = (
+                measure_train_step_0b4()
+            )
+        except Exception as e:
+            result["extra"]["train_error"] = f"{type(e).__name__}: {e}"[:300]
     print(json.dumps(result))
 
 

@@ -32,6 +32,8 @@ def main():
     p.add_argument("--embd", type=int, default=1024)
     p.add_argument("--bsz", type=int, default=8)
     p.add_argument("--T", type=int, default=2048)
+    p.add_argument("--accum", type=int, default=1,
+                   help="in-jit gradient accumulation (lax.scan over micro-batches)")
     p.add_argument("--x", type=int, default=32, help="async chain length")
     p.add_argument("--rounds", type=int, default=3)
     p.add_argument("--stacked", type=int, default=1)
@@ -39,7 +41,7 @@ def main():
                    help="grid-block factor for the fused WKV path")
     p.add_argument("--kchunk", type=int, default=32,
                    help="fused-path kernel-chunk ceiling (solve stays capped)")
-    p.add_argument("--remat", default="full", choices=["full", "none", "dots", "save_wkv"])
+    p.add_argument("--remat", default="full", choices=["full", "none", "dots"])
     args = p.parse_args()
 
     from visualrwkv_tpu.config import RWKVConfig, TrainConfig, VisionConfig, VLMConfig
@@ -60,10 +62,10 @@ def main():
                         ctx_len=args.T, chunk_len=args.chunk),
         vision=VisionConfig(towers=()),
     )
-    grad_cp = {"full": True, "none": False, "dots": "dots",
-               "save_wkv": "save_wkv"}[args.remat]
+    grad_cp = {"full": True, "none": False, "dots": "dots"}[args.remat]
     cfg = TrainConfig(
         micro_bsz=args.bsz, param_dtype="bfloat16",
+        accumulate_grad_batches=args.accum,
         stacked_layers=bool(args.stacked), grad_cp=grad_cp,
         epoch_steps=100, epoch_count=1,
     )
@@ -72,8 +74,9 @@ def main():
     tr = Trainer(vlm_cfg, cfg, params, proj_dir="/tmp/step_ab_out", log_every=10**9)
 
     rng = np.random.default_rng(0)
-    ids = jnp.asarray(rng.integers(0, 65536, (args.bsz, args.T)), jnp.int32)
-    labels = jnp.asarray(rng.integers(0, 65536, (args.bsz, args.T)), jnp.int32)
+    eff = args.bsz * args.accum
+    ids = jnp.asarray(rng.integers(0, 65536, (eff, args.T)), jnp.int32)
+    labels = jnp.asarray(rng.integers(0, 65536, (eff, args.T)), jnp.int32)
     batch = {"input_ids": ids, "labels": labels, "images": None}
 
     st = tr.state
@@ -84,7 +87,7 @@ def main():
     print(f"compile+first step: {time.perf_counter()-t0:.1f}s loss={float(loss):.3f}",
           flush=True)
 
-    tok = args.bsz * args.T
+    tok = args.bsz * args.accum * args.T
     for r in range(args.rounds):
         t0 = time.perf_counter()
         for _ in range(args.x):

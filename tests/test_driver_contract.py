@@ -104,3 +104,14 @@ def test_bench_ttft_smoke():
     cfg = graft._tiny_vlm_cfg(triple=True)
     ms = bench.measure_ttft_336px(cfg=cfg, reps=3, drop=1)
     assert isinstance(ms, float) and ms > 0
+
+
+def test_bench_train_step_flow_tiny():
+    """bench.measure_train_step_0b4 end-to-end on a tiny CPU config (the
+    driver runs the real 0B4 geometry on the chip; this locks the flow)."""
+    import bench
+
+    v = bench.measure_train_step_0b4(
+        x=2, rounds=1, n_layer=2, n_embd=64, micro_bsz=1, accum=2, T=64
+    )
+    assert v > 0
