@@ -112,6 +112,6 @@ def test_bench_train_step_flow_tiny():
     import bench
 
     v = bench.measure_train_step_0b4(
-        x=2, rounds=1, n_layer=2, n_embd=64, micro_bsz=1, accum=2, T=64
+        x=1, rounds=1, n_layer=1, n_embd=64, micro_bsz=1, accum=2, T=32
     )
     assert v > 0

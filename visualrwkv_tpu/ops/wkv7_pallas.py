@@ -28,10 +28,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-# 16 matches the dispatcher's stability cap (ops/wkv7.py): larger chunks
-# amplify bf16 input rounding through the (I-M)^{-1} solve — 32 NaN'd real
-# training (see tests/test_wkv7_stability.py). Callers wanting speed over
-# safety must opt in explicitly.
+# 16 is the dispatcher's stability cap for the SOLVE length (ops/wkv7.py):
+# longer explicit (I-M)^{-1} inverses amplify bf16 input rounding — 32 NaN'd
+# real training (tests/test_wkv7_stability.py). The KERNEL chunk may exceed
+# it via the block-substitution solve (`solve` kwarg / _btri_solve); the
+# dispatcher defaults to kernel chunk 32 with solve 16.
 DEFAULT_CHUNK = 16
 
 
@@ -156,10 +157,11 @@ def _wkv7_chunk_math(z, r, w, k, v, a, b, *, L: int, mxu_dtype,
     # STABILITY: the forward-substitution pipeline (M -> T=(I-M)^{-1} -> U) is
     # cancellation-sensitive: rounding in M is amplified ~prod(1+|m|) over the
     # chunk. M/T/U therefore stay fp32 (a_t32/bk from pre-cast values); only
-    # the bounded output/state dots use bf16 operands. Even in fp32, chunks
-    # beyond 16 can amplify bf16 INPUT rounding into garbage when k is
+    # the bounded output/state dots use bf16 operands. Even in fp32, explicit
+    # inverses beyond 16 amplify bf16 INPUT rounding into garbage when k is
     # near-constant over the chunk (|m| ~= a_gate, decay ~= 1 — exactly the
-    # post-first-optimizer-step regime) — the dispatcher caps at 16.
+    # post-first-optimizer-step regime) — hence the block-substitution solve
+    # below with the dispatcher-capped S.
     a_t32 = a * jnp.exp(g_prev)
     b_h32 = b * jnp.exp(-g)
     k_h32 = k * jnp.exp(-g)
