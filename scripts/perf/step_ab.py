@@ -41,7 +41,8 @@ def main():
                    help="grid-block factor for the fused WKV path")
     p.add_argument("--kchunk", type=int, default=32,
                    help="fused-path kernel-chunk ceiling (solve stays capped)")
-    p.add_argument("--remat", default="full", choices=["full", "none", "dots"])
+    p.add_argument("--remat", default="full",
+                   choices=["full", "none", "dots", "wkv"])
     args = p.parse_args()
 
     from visualrwkv_tpu.config import RWKVConfig, TrainConfig, VisionConfig, VLMConfig
@@ -62,7 +63,8 @@ def main():
                         ctx_len=args.T, chunk_len=args.chunk),
         vision=VisionConfig(towers=()),
     )
-    grad_cp = {"full": True, "none": False, "dots": "dots"}[args.remat]
+    grad_cp = {"full": True, "none": False, "dots": "dots",
+               "wkv": "wkv"}[args.remat]
     cfg = TrainConfig(
         micro_bsz=args.bsz, param_dtype="bfloat16",
         accumulate_grad_batches=args.accum,

@@ -167,13 +167,15 @@ def test_adapter_v4_pairs_with_x040(setup):
     feats = jax.random.normal(jax.random.PRNGKey(8), (B, L, cfg.n_embd))
     ids = jax.random.randint(jax.random.PRNGKey(9), (B, T), 1, 512)
     mask = jnp.ones((B, T), bool)
-    total, parts = adapter_pretrain_losses(ap, params, cfg, feats, ids, mask)
+    # one value_and_grad trace covers both the loss values and gradient flow
+    # (tracing the frozen x040 scan twice doubled this test's compile time)
+    (total, parts), g = jax.value_and_grad(
+        lambda a: adapter_pretrain_losses(a, params, cfg, feats, ids, mask),
+        has_aux=True,
+    )(ap)
     assert np.isfinite(float(total))
     assert set(parts) == {"loss_itc", "loss_itm", "loss_lm"}
     # gradients flow to the adapter, not the frozen LM
-    g = jax.grad(
-        lambda a: adapter_pretrain_losses(a, params, cfg, feats, ids, mask)[0]
-    )(ap)
     gn = float(
         sum(jnp.sum(jnp.abs(x)) for x in jax.tree_util.tree_leaves(g))
     )

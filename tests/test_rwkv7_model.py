@@ -78,14 +78,17 @@ def test_grad_cp_matches(setup):
         return (logits.astype(jnp.float32) ** 2).mean()
 
     g1 = jax.grad(lambda p: loss(p, False))(params)
-    g2 = jax.grad(lambda p: loss(p, True))(params)
     flat1 = jax.tree_util.tree_leaves(g1)
-    flat2 = jax.tree_util.tree_leaves(g2)
-    total = 0.0
-    for a, b in zip(flat1, flat2):
-        assert rel_err(b, a) < 1e-4
-        total += float(jnp.abs(a).sum())
-    assert total > 0  # gradients actually flow
+    # "wkv" = selective policy: save only the named WKV output/state stream
+    # (ops.wkv7 checkpoint_name) and recompute everything else
+    for grad_cp in (True, "dots", "wkv"):
+        g2 = jax.grad(lambda p: loss(p, grad_cp))(params)
+        flat2 = jax.tree_util.tree_leaves(g2)
+        total = 0.0
+        for a, b in zip(flat1, flat2):
+            assert rel_err(b, a) < 1e-4, grad_cp
+            total += float(jnp.abs(a).sum())
+        assert total > 0  # gradients actually flow
 
 
 def test_stacked_forward_matches(setup):

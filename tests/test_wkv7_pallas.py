@@ -194,9 +194,12 @@ def test_packed_fwd_res_and_bwd_match_head_layout():
         ), f"d{name}"
 
 
+@pytest.mark.slow
 def test_impl_packed_dispatch_matches_pallas():
     """set_wkv_impl("packed") must route wkv7() through the packed pair with
-    identical values AND gradients; odd head counts fall back to head layout."""
+    identical values AND gradients; odd head counts fall back to head layout.
+    Slow: packed is opt-in (lost the round-3 A/B, PROGRESS.md) and the fwd
+    parity stays fast in test_packed_matches_head_layout."""
     import importlib
 
     w7 = importlib.import_module("visualrwkv_tpu.ops.wkv7")
@@ -236,7 +239,9 @@ def test_impl_packed_dispatch_matches_pallas():
     assert np.isfinite(float(l_odd))
 
 
-@pytest.mark.parametrize("block", [2, 4])
+@pytest.mark.parametrize(
+    "block", [2, pytest.param(4, marks=pytest.mark.slow)]
+)
 def test_blocked_kernels_bit_match_block1(block):
     """block>1 packs N chunks per grid step — pure scheduling, so forward,
     fwd_res (incl. the thinned checkpoint stream) and every backward gradient

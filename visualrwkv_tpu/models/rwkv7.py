@@ -355,9 +355,16 @@ def embed(params: Params, tokens: Array) -> Array:
 def _remat_policy(grad_cp):
     """grad_cp: False | True ("full" per-block remat) | "dots" (save MXU
     outputs, recompute only elementwise/norms — trades ~2x activation memory
-    for skipping the projection recompute in the backward)."""
+    for skipping the projection recompute in the backward) | "wkv" (save only
+    the WKV kernel output + boundary-state stream, named in ops.wkv7's
+    custom_vjp fwd — the backward re-forwards the cheap projections/norms but
+    never re-runs the WKV kernel, the block's most expensive single op)."""
     if grad_cp == "dots":
         return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    if grad_cp == "wkv":
+        return jax.checkpoint_policies.save_only_these_names(
+            "wkv_y", "wkv_res"
+        )
     return None
 
 

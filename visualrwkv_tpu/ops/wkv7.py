@@ -51,6 +51,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 Array = jax.Array
 
@@ -478,8 +479,12 @@ def _wkv7_cv_chunked(chunk, r, w_raw, k, v, a, b, initial_state):
 
 
 def _cv_chunked_fwd(chunk, r, w_raw, k, v, a, b, initial_state):
-    out = wkv7_chunked(r, w_raw, k, v, a, b, initial_state, chunk=chunk)
-    return out, (r, w_raw, k, v, a, b, initial_state)
+    y, s = wkv7_chunked(r, w_raw, k, v, a, b, initial_state, chunk=chunk)
+    # named for the grad_cp="wkv" selective-remat policy (see _cv_pallas_fwd);
+    # the chunked path keeps raw inputs as residuals, so only the output needs
+    # a name for the policy to skip the downstream re-forward on CPU tests.
+    y = checkpoint_name(y, "wkv_y")
+    return (y, s), (r, w_raw, k, v, a, b, initial_state)
 
 
 def _cv_chunked_bwd(chunk, residuals, cotangents):
@@ -510,6 +515,12 @@ def _cv_pallas_fwd(chunk, block, solve, r, w_raw, k, v, a, b, initial_state):
 
     y, s, zin = wkv7_pallas_fwd_res(r, w_raw, k, v, a, b, initial_state,
                                     chunk=chunk, block=block, solve=solve)
+    # checkpoint_name lets a `save_only_these_names` remat policy (trainer
+    # grad_cp="wkv") keep the kernel output + boundary-state stream across
+    # the block remat so the backward pass never re-runs the WKV kernel
+    # (reference grad-cp re-forwards everything, src/model.py:318-319).
+    y = checkpoint_name(y, "wkv_y")
+    zin = checkpoint_name(zin, "wkv_res")
     return (y, s), (r, w_raw, k, v, a, b, zin, initial_state)
 
 

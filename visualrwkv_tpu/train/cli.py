@@ -50,9 +50,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--weight_decay", default=0.0, type=float)
     p.add_argument("--weight_decay_final", default=-1.0, type=float)
     p.add_argument("--grad_cp", default=1, type=int)
-    p.add_argument("--remat", default="", choices=["", "none", "full", "dots"],
+    p.add_argument("--remat", default="",
+                   choices=["", "none", "full", "dots", "wkv"],
                    help="activation checkpointing policy (overrides --grad_cp): "
-                   "dots saves MXU outputs and recomputes only elementwise")
+                   "dots saves MXU outputs and recomputes only elementwise; "
+                   "wkv saves only the WKV kernel output/state stream so the "
+                   "backward never re-runs the kernel")
     p.add_argument("--grad_clip", default=1.0, type=float)
     p.add_argument("--freeze_rwkv", default=0, type=int, help="freeze first N layers")
     p.add_argument("--freeze_emb", default=0, type=int)
@@ -120,7 +123,7 @@ def make_configs(args):
         epoch_steps=args.epoch_steps, epoch_count=args.epoch_count,
         epoch_begin=args.epoch_begin, epoch_save=args.epoch_save,
         grad_cp={"": bool(args.grad_cp), "none": False, "full": True,
-                 "dots": "dots"}[args.remat],
+                 "dots": "dots", "wkv": "wkv"}[args.remat],
         freeze_rwkv_layers=args.freeze_rwkv,
         freeze_emb=bool(args.freeze_emb), freeze_proj=bool(args.freeze_proj),
         zero_stage=args.zero_stage, param_dtype=args.param_dtype,
