@@ -232,7 +232,8 @@ def measure_decode() -> dict:
 
 def measure_train_step_0b4(x: int = 16, rounds: int = 2, n_layer: int = 24,
                            n_embd: int = 1024, micro_bsz: int = 2,
-                           accum: int = 4, T: int = 2048) -> float:
+                           accum: int = 4, T: int = 2048,
+                           vocab_size: int = 65536) -> float:
     """Steady-state 0B4 training throughput (tok/s/chip): text-only RWKV-7
     L24/C1024, bf16 params + fp32 masters, stacked layout, per-block remat,
     fused two-level WKV kernels, micro-batch 2 x in-jit grad-accum 4 (global
@@ -245,7 +246,8 @@ def measure_train_step_0b4(x: int = 16, rounds: int = 2, n_layer: int = 24,
     from visualrwkv_tpu.train.trainer import Trainer
 
     vlm_cfg = VLMConfig(
-        rwkv=RWKVConfig(n_layer=n_layer, n_embd=n_embd, ctx_len=T),
+        rwkv=RWKVConfig(n_layer=n_layer, n_embd=n_embd, ctx_len=T,
+                        vocab_size=vocab_size),
         vision=VisionConfig(towers=()),
     )
     cfg = TrainConfig(
@@ -258,8 +260,8 @@ def measure_train_step_0b4(x: int = 16, rounds: int = 2, n_layer: int = 24,
 
     rng = np.random.default_rng(0)
     eff = micro_bsz * accum
-    ids = jnp.asarray(rng.integers(0, 65536, (eff, T)), jnp.int32)
-    labels = jnp.asarray(rng.integers(0, 65536, (eff, T)), jnp.int32)
+    ids = jnp.asarray(rng.integers(0, vocab_size, (eff, T)), jnp.int32)
+    labels = jnp.asarray(rng.integers(0, vocab_size, (eff, T)), jnp.int32)
     batch = {"input_ids": ids, "labels": labels, "images": None}
 
     p_, o_, s_ = tr.state.params, tr.state.opt_state, tr.state.step
