@@ -23,6 +23,10 @@ import jax.numpy as jnp
 
 _PROBE = "import jax, jax.numpy as jnp; x = jnp.ones((256, 256)); (x @ x).block_until_ready()"
 
+# one name for the headline metric: the tunnel-down error line must carry the
+# SAME metric key the success path reports, or driver parsing silently breaks
+METRIC = "decode_tokens_per_sec_per_chip_1B5_int8_bf16state_B32"
+
 
 def wait_for_tpu(max_wait_s: float | None = None, interval_s: float = 60.0) -> None:
     """The remote-TPU tunnel goes UNAVAILABLE for stretches and recovers on
@@ -47,7 +51,7 @@ def wait_for_tpu(max_wait_s: float | None = None, interval_s: float = 60.0) -> N
         except (subprocess.CalledProcessError, subprocess.TimeoutExpired):
             if time.time() > deadline:
                 print(json.dumps({
-                    "metric": "decode_tokens_per_sec_per_chip_1B5_int8_bf16state_B32",
+                    "metric": METRIC,
                     "value": None,
                     "unit": "tokens/s/chip",
                     "vs_baseline": None,
@@ -216,7 +220,7 @@ def measure_decode() -> dict:
     tok_per_s = B * DECODE_T / decode_i8s16_s
     baseline = 2000.0
     return {
-        "metric": "decode_tokens_per_sec_per_chip_1B5_int8_bf16state_B32",
+        "metric": METRIC,
         "value": round(tok_per_s, 1),
         "unit": "tokens/s/chip",
         "vs_baseline": round(tok_per_s / baseline, 3),

@@ -80,13 +80,24 @@ def main():
 
     fwd_nohead = jax.jit(hidden_only)
 
-    grad = jax.jit(lambda p: value_and_clipped_grads(
-        lambda pp, micro: training_loss(pp, vlm_cfg, micro["input_ids"],
-                                        micro["labels"], None, grad_cp=True),
-        p, {"input_ids": ids[None], "labels": labels[None]}, 1, grad_clip=0.0,
-    )[0])
+    def touch_all(grads):
+        # reduce EVERY grad leaf into the output so XLA cannot dead-code-
+        # eliminate any weight-grad branch of the backward
+        return sum(
+            jnp.sum(g.astype(jnp.float32)) for g in jax.tree_util.tree_leaves(grads)
+        )
 
-    grad_nohead = jax.jit(lambda p: jax.grad(hidden_only)(p)["rwkv"]["emb"]["weight"])
+    def grad_leg(p):
+        loss, grads = value_and_clipped_grads(
+            lambda pp, micro: training_loss(pp, vlm_cfg, micro["input_ids"],
+                                            micro["labels"], None, grad_cp=True),
+            p, {"input_ids": ids, "labels": labels}, 1, grad_clip=0.0,
+        )
+        # return both so the backward stays live (0.0*sum would fold away)
+        return loss, touch_all(grads)
+
+    grad = jax.jit(grad_leg)
+    grad_nohead = jax.jit(lambda p: touch_all(jax.grad(hidden_only)(p)))
 
     for name, f in [("fwd(loss)", fwd), ("fwd(no head/CE)", fwd_nohead),
                     ("grad(loss)", grad), ("grad(no head/CE)", grad_nohead)]:

@@ -41,7 +41,7 @@ def main():
     for g_val in [int(x) for x in args.gs.split(",")]:
         if (B * H) % g_val:
             continue
-        wp._pick_g = lambda BH, L=64, N=64, fp32_bufs=12, budget=0, _g=g_val: _g
+        wp._pick_g = lambda *a, _g=g_val, **kw: _g  # accept any _pick_g signature
         try:
             fns = {
                 "fwd": jax.jit(lambda *x: wp.wkv7_pallas(*x, chunk=chunk)),

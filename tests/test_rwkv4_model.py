@@ -180,3 +180,39 @@ def test_adapter_v4_pairs_with_x040(setup):
         sum(jnp.sum(jnp.abs(x)) for x in jax.tree_util.tree_leaves(g))
     )
     assert np.isfinite(gn) and gn > 0
+
+
+def test_init_lm_state_dispatch_and_dim_att():
+    """lm.init_lm_state must route x040 to the aa/bb/pp state (not the
+    [B,H,N,N] matrix state rwkv7.init_state builds) and size the recurrence
+    over dim_att, which may differ from n_embd."""
+    from visualrwkv_tpu.models import lm
+
+    cfg = RWKVConfig(
+        n_layer=2, n_embd=128, dim_att=64, vocab_size=512,
+        compute_dtype="float32", version="x040",
+    )
+    params = m.init_rwkv4_params(jax.random.PRNGKey(0), cfg)
+    states = lm.init_lm_state(cfg, batch=3)
+    assert states[0].wkv.shape == (3, 64, 3)  # dim_att channels, not n_embd
+    assert states[0].att_shift.shape == (3, 128)  # shifts stay n_embd-wide
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (3,), 0, 512)
+    logits, new_states = lm.lm_decode_step(params, cfg, tokens, states)
+    assert logits.shape == (3, 512)
+    assert new_states[0].wkv.shape == (3, 64, 3)
+    assert np.isfinite(np.asarray(logits)).all()
+    # x070 (and the shared x052/x060 layout) still gets the matrix state
+    cfg7 = RWKVConfig(n_layer=2, n_embd=128, vocab_size=512, version="x070")
+    st7 = lm.init_lm_state(cfg7, batch=2)
+    assert st7[0].wkv.shape == (2, cfg7.n_head, 64, 64)
+
+
+def test_detect_rejects_non_rwkv_dict():
+    """A vision-only / empty / non-RWKV state dict must raise, not silently
+    classify as an empty x040 checkpoint."""
+    with pytest.raises(ValueError, match="no RWKV LM keys"):
+        detect_rwkv_version({})
+    with pytest.raises(ValueError, match="no RWKV LM keys"):
+        detect_rwkv_version(
+            {"vit.dino_featurizer.blocks.0.attn.qkv.weight": np.zeros((3, 3))}
+        )

@@ -110,9 +110,13 @@ def detect_rwkv_version(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
 
     # pass 1: version from key signatures alone (insertion-order independent;
     # the reference scans keys in order, which mis-versions dicts where a
-    # block's time_decay precedes its ln_x)
-    version = 4.0
+    # block's time_decay precedes its ln_x). v4 needs POSITIVE evidence (its
+    # aa/bb/pp-era time_first/time_decay keys) — a dict with no recognizable
+    # LM keys must raise, not import as an empty x040 model.
+    version = 0.0
     for k, t in keys.items():
+        if k.endswith("att.time_first") or k.endswith("att.time_decay"):
+            version = max(4.0, version)
         if "ln_x" in k:
             version = max(5.0, version)
         if "gate.weight" in k:
@@ -146,6 +150,12 @@ def detect_rwkv_version(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
         else (None, None)
     )
     name = {4.0: "x040", 5.2: "x052", 6.0: "x060", 7.0: "x070"}.get(version)
+    if version == 0.0:
+        raise ValueError(
+            "no RWKV LM keys recognized in the state dict (expected "
+            "emb./blocks./ln_out./head. entries with att.time_* signatures); "
+            "is this a vision-only or non-RWKV checkpoint?"
+        )
     if name is None:
         raise NotImplementedError(
             f"detected legacy RWKV v{version:.1f} checkpoint; supported "

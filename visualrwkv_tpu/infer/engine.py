@@ -31,7 +31,7 @@ from visualrwkv_tpu.infer.sampling import (
     sample_logits,
     update_occurrence,
 )
-from visualrwkv_tpu.models import lm, rwkv7
+from visualrwkv_tpu.models import lm
 from visualrwkv_tpu.models.visualrwkv import prepare_embeddings
 
 Array = jax.Array
@@ -187,7 +187,7 @@ class InferenceEngine:
             t: jnp.asarray(v) for t, v in images.items()
         })  # [N_img, L, C]
         x = feats.reshape(1, -1, feats.shape[-1])
-        _, states = _prefill(self.params, self.cfg, x, rwkv7.init_state(self.cfg.rwkv, 1))
+        _, states = _prefill(self.params, self.cfg, x, lm.init_lm_state(self.cfg.rwkv, 1))
         self._state_cache[cache_key] = states
         return states
 

@@ -40,7 +40,7 @@ from visualrwkv_tpu.infer.sampling import (
     sample_logits,
     update_occurrence,
 )
-from visualrwkv_tpu.models import lm, rwkv7
+from visualrwkv_tpu.models import lm
 
 
 @dataclass
@@ -81,7 +81,7 @@ class BatchedServer:
         B = max_batch
         rcfg = self.cfg.rwkv
         V = rcfg.vocab_size
-        self._states = self._to_carry(rwkv7.init_state(rcfg, B))
+        self._states = self._to_carry(lm.init_lm_state(rcfg, B))
         self._logits = jnp.zeros((B, V), jnp.float32)
         self._occurrence = jnp.zeros((B, V), jnp.float32)
         # inactive slots decode garbage into a masked lane; active flags are

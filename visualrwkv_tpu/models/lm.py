@@ -23,6 +23,16 @@ Array = jax.Array
 Params = Dict[str, Any]
 
 
+def init_lm_state(cfg: RWKVConfig, batch: int) -> List[LayerState]:
+    """Version-dispatched zero recurrent state. x052/x060/x070 share the
+    [B, H, N, N] matrix-state layout (rwkv7.init_state); x040 carries the
+    per-channel aa/bb/pp log-domain triple instead (reference
+    app/cuda/operators.cu:12-50 state layout)."""
+    if cfg.version == "x040":
+        return rwkv4.init_state_x040(cfg, batch)
+    return init_state(cfg, batch)
+
+
 def init_lm_params(key: Array, cfg: RWKVConfig) -> Params:
     if cfg.version == "x070":
         return rwkv7.init_rwkv7_params(key, cfg)

@@ -116,10 +116,11 @@ def init_rwkv4_params(key: Array, cfg: RWKVConfig, dtype=None) -> Params:
 
 
 def init_state_x040(cfg: RWKVConfig, batch: int) -> List[LayerState]:
-    C = cfg.n_embd
-    zero = jnp.zeros((batch, C), jnp.float32)
+    # token-shift carries are n_embd-wide (they hold the block INPUT), but the
+    # aa/bb/pp recurrence runs over the dim_att k/v channels
+    zero = jnp.zeros((batch, cfg.n_embd), jnp.float32)
     return [
-        LayerState(zero, wkv4_init_state(batch, C), zero)
+        LayerState(zero, wkv4_init_state(batch, cfg.dim_att), zero)
         for _ in range(cfg.n_layer)
     ]
 

@@ -583,6 +583,9 @@ def _cv_packed_fwd(chunk, r, w_raw, k, v, a, b, initial_state):
     y, s, zin = wkv7_pallas_fwd_res_packed(
         r, w_raw, k, v, a, b, initial_state, chunk=chunk
     )
+    # same names as _cv_pallas_fwd so grad_cp="wkv" saves this path too
+    y = checkpoint_name(y, "wkv_y")
+    zin = checkpoint_name(zin, "wkv_res")
     return (y, s), (r, w_raw, k, v, a, b, zin, initial_state)
 
 

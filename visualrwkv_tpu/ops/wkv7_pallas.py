@@ -840,7 +840,7 @@ def _wkv7_bwd_kernel(zin_ref, r_ref, w_ref, k_ref, v_ref, a_ref, b_ref,
                      dy_ref, dzf_ref,
                      dr_ref, dw_ref, dk_ref, dv_ref, da_ref, db_ref, dz0_ref,
                      dz_scratch, *, L: int, nc: int, G: int,
-                     block: int = 1, mxu_dtype=jnp.float32, solve: int = 0):
+                     block: int = 1, solve: int = 0):
     """Reverse-chunk-order VJP. Grid step c processes chunk nc-1-c; the state
     cotangent dZ is carried in VMEM scratch. All math fp32 (gradients are
     precision-sensitive; the CUDA backward also accumulates in fp32).
@@ -910,10 +910,11 @@ def wkv7_pallas_bwd(r, w_raw, k, v, a, b, zin, dy, dzfinal,
     state_spec = pl.BlockSpec((G, N, N), lambda bh, c: (bh, 0, 0),
                               memory_space=pltpu.VMEM)
 
-    mxu_dtype = jnp.bfloat16 if r.dtype == jnp.bfloat16 else jnp.float32
     outs = pl.pallas_call(
+        # no mxu_dtype: the backward is all-fp32 (gradients are precision-
+        # sensitive; the CUDA backward accumulates fp32 too)
         functools.partial(_wkv7_bwd_kernel, L=L, nc=nc, G=G, block=block,
-                          mxu_dtype=mxu_dtype, solve=solve),
+                          solve=solve),
         grid=(BH // G, nc),
         in_specs=[zin_spec] + [in_spec] * 7 + [state_spec],
         out_specs=tuple([in_spec] * 6 + [state_spec]),
