@@ -107,6 +107,32 @@ def test_step_kernel_matches_jnp_step():
     assert rel_err(y_pal, y_ref) < 1e-6
 
 
+def test_flat_step_kernel_matches_head_step():
+    """Fused lane-flat decode-step kernel (one-hot MXU reductions) vs the
+    canonical head-layout jnp step; fp32 and bf16 carries."""
+    from visualrwkv_tpu.ops.wkv7 import state_from_flat, state_to_flat, wkv7_step
+    from visualrwkv_tpu.ops.wkv7_pallas import wkv7_step_flat_pallas
+
+    B, H, N = 3, 4, 16  # B=3 exercises the Gb fallback (4 -> 1)
+    r, w, k, v, a, b = (
+        x[:, 0] for x in make_inputs(jax.random.PRNGKey(6), B=B, T=1, H=H, N=N)
+    )
+    st = jax.random.normal(jax.random.PRNGKey(7), (B, H, N, N), jnp.float32)
+    s_ref, y_ref = wkv7_step(st, r, w, k, v, a, b)
+    s_pal, y_pal = wkv7_step_flat_pallas(state_to_flat(st), r, w, k, v, a, b)
+    assert s_pal.shape == (B, N, H * N)
+    assert rel_err(state_from_flat(s_pal, H), s_ref) < 1e-6
+    assert rel_err(y_pal, y_ref) < 1e-6
+    # bf16 carry: dtype preserved, math fp32 (rounding-level error only)
+    s16, y16 = wkv7_step_flat_pallas(
+        state_to_flat(st).astype(jnp.bfloat16), r.astype(jnp.bfloat16),
+        w, k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+    )
+    assert s16.dtype == jnp.bfloat16
+    assert rel_err(y16.astype(jnp.float32), y_ref) < 2e-2
+
+
 def test_wkv6_step_kernel_matches_jnp_step():
     from visualrwkv_tpu.ops.wkv6 import wkv6_step
     from visualrwkv_tpu.ops.wkv6_pallas import wkv6_step_pallas

@@ -184,8 +184,13 @@ def wkv7_step_auto(
 ) -> Tuple[Array, Array]:
     """Decode-step dispatch; see :func:`set_wkv_step_impl` for the policy.
 
-    A 3-D state selects the lane-flat layout (:func:`wkv7_step_flat`)."""
+    A 3-D state selects the lane-flat layout (:func:`wkv7_step_flat`;
+    fused Pallas variant under ``set_wkv_step_impl("pallas")``)."""
     if state.ndim == 3:
+        if _STEP_IMPL == "pallas" and jax.default_backend() == "tpu":
+            from visualrwkv_tpu.ops.wkv7_pallas import wkv7_step_flat_pallas
+
+            return wkv7_step_flat_pallas(state, r, w_raw, k, v, a, b)
         return wkv7_step_flat(state, r, w_raw, k, v, a, b)
     if (
         _STEP_IMPL == "pallas"

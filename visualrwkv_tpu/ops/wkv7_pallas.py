@@ -668,6 +668,106 @@ def wkv7_step_pallas(state: Array, r: Array, w_raw: Array, k: Array,
     return s_out.reshape(B, H, Nv, Nk), y.reshape(B, H, Nv)
 
 
+def _head_segment_mask(rows: int, cols: int, N: int, transpose: bool):
+    """fp32 [rows, cols] block mask. Normal: rows index the flat (h, j)
+    lanes, cols index heads — mask[(h, j), h'] = (h == h'). Transposed:
+    mask[h', (h, j)]. Built from range compares (no integer div, which has
+    no reliable Mosaic lowering)."""
+    f32 = jnp.float32
+    if transpose:
+        h = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+        hj = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    else:
+        hj = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+        h = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    lo = h * N
+    return ((hj >= lo) & (hj < lo + N)).astype(f32)
+
+
+def _wkv7_step_flat_kernel(s_ref, a_ref, wr_ref, w_ref, b_ref, k_ref,
+                           vt_ref, br_ref, kr_ref, s_out_ref, yt_ref,
+                           *, Gb: int, H: int, N: int):
+    """Fused step on the lane-flat state [Gb, Nv, H*N] (zero lane padding).
+
+    The per-head reductions become MXU dots against one-hot block masks:
+      sa[i, h]  = s @ (a_flat * mask)        [Nv, H]
+      swr[i, h] = s @ ((w*r)_flat * mask)
+      s_new     = s * w_flat + sa @ (maskT * b_flat) + vT @ (maskT * k_flat)
+      y[i, h]   = swr + sa * (b.r)[h] + vT * (k.r)[h]   (old-state expansion)
+    One read + one write of the state; the jnp flat step loses to the head
+    layout because XLA materializes PADDED [B, N, H, N] fp32 intermediates —
+    here every intermediate is [Nv, H] or [Nv, H*N] flat in VMEM."""
+    f32 = jnp.float32
+    HN = H * N
+    mask = _head_segment_mask(HN, H, N, transpose=False)  # [HN, H]
+    maskT = _head_segment_mask(H, HN, N, transpose=True)  # [H, HN]
+    dn = (((1,), (0,)), ((), ()))
+    for g in range(Gb):
+        s = s_ref[g].astype(f32)  # [Nv, HN]
+        A = a_ref[g][:, None] * mask
+        WR = wr_ref[g][:, None] * mask
+        sa = jax.lax.dot_general(s, A, dn, preferred_element_type=f32)
+        swr = jax.lax.dot_general(s, WR, dn, preferred_element_type=f32)
+        vt = vt_ref[g].astype(f32)  # [Nv, H]
+        yt = swr + sa * br_ref[g][None, :] + vt * kr_ref[g][None, :]
+        Bexp = maskT * b_ref[g][None, :]
+        Kexp = maskT * k_ref[g][None, :]
+        s_new = (
+            s * w_ref[g][None, :]
+            + jax.lax.dot_general(sa, Bexp, dn, preferred_element_type=f32)
+            + jax.lax.dot_general(vt, Kexp, dn, preferred_element_type=f32)
+        )
+        s_out_ref[g] = s_new.astype(s_out_ref.dtype)
+        yt_ref[g] = yt
+
+
+def wkv7_step_flat_pallas(state: Array, r: Array, w_raw: Array, k: Array,
+                          v: Array, a: Array, b: Array) -> Tuple[Array, Array]:
+    """Fused single-token WKV7 update on the lane-flat state ``[B, Nv, H*N]``.
+
+    Combines the two measured-but-separately-losing decode options: the flat
+    layout (no 64->128 lane padding: HALF the head-layout state bytes) and
+    the fused kernel (one read + one write vs the jnp step's ~4 passes).
+    Each lost alone — flat-jnp to XLA's padded intermediates, head-pallas to
+    the custom-call fusion boundary — but the combination minimizes the HBM
+    state traffic that dominates decode at large batch. Same math as
+    ops.wkv7.wkv7_step_flat; carried dtype preserved; parity-tested.
+    """
+    B, Nv, HN = state.shape
+    _, H, N = r.shape
+    f32 = jnp.float32
+    out_dtype = r.dtype
+    rf, kf, vf, af, bf = (x.astype(f32) for x in (r, k, v, a, b))
+    w = jnp.exp(-jnp.exp(w_raw.astype(f32)))
+    flat = lambda x: x.reshape(B, HN)
+    vt = jnp.swapaxes(vf, 1, 2)  # [B, Nv, H]
+    br = jnp.sum(bf * rf, axis=-1)  # [B, H]
+    kr = jnp.sum(kf * rf, axis=-1)
+
+    Gb = 4
+    while B % Gb:
+        Gb //= 2
+    mat_spec = pl.BlockSpec((Gb, Nv, HN), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((Gb, HN), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    vt_spec = pl.BlockSpec((Gb, Nv, H), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    h_spec = pl.BlockSpec((Gb, H), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    s_out, yt = pl.pallas_call(
+        functools.partial(_wkv7_step_flat_kernel, Gb=Gb, H=H, N=N),
+        grid=(B // Gb,),
+        in_specs=[mat_spec] + [vec_spec] * 5 + [vt_spec, h_spec, h_spec],
+        out_specs=(mat_spec, vt_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Nv, HN), state.dtype),
+            jax.ShapeDtypeStruct((B, Nv, H), f32),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(state, flat(af), flat(w * rf), flat(w), flat(bf), flat(kf), vt, br, kr)
+    y = jnp.swapaxes(yt, 1, 2).astype(out_dtype)  # [B, H, Nv]
+    return s_out, y
+
+
 # ---------------------------------------------------------------------------
 # Fused backward (hand-derived VJP of the chunk equations)
 # ---------------------------------------------------------------------------
