@@ -310,7 +310,10 @@ def _ce_chunk_stats(head_w, h_c, lbl_next_c, valid_c, dt):
     logits = jnp.matmul(h_c.astype(dt), head_w.astype(dt), preferred_element_type=jnp.float32)
     logz = jax.nn.logsumexp(logits, axis=-1)
     safe = jnp.where(valid_c, lbl_next_c, 0)
-    gold = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+    # mode="clip": under jit the default OOB gather mode is "fill" (NaN), so
+    # a label >= vocab_size (e.g. real tokenizer ids against a shrunken test
+    # vocab) would silently poison the whole loss instead of being clamped
+    gold = jnp.take_along_axis(logits, safe[..., None], axis=-1, mode="clip")[..., 0]
     ce = jnp.where(valid_c, logz - gold, 0.0)
     return ce.sum(axis=1), valid_c.sum(axis=1)
 
@@ -404,7 +407,9 @@ def _dense_ce_l2wrap(logits: Array, labels: Array) -> Array:
     valid_lengths = jnp.maximum(valid.sum(axis=1), 1)
     safe_labels = jnp.where(valid, shift_labels, 0)
     logz = jax.nn.logsumexp(shift_logits, axis=-1)
-    gold = jnp.take_along_axis(shift_logits, safe_labels[..., None], axis=-1)[..., 0]
+    gold = jnp.take_along_axis(
+        shift_logits, safe_labels[..., None], axis=-1, mode="clip"
+    )[..., 0]
     ce = jnp.where(valid, logz - gold, 0.0)
     loss = (ce.sum(axis=1) / valid_lengths).mean()
     return l2wrap(loss, logits.astype(jnp.float32))

@@ -92,6 +92,14 @@ def build_argparser() -> argparse.ArgumentParser:
         help="parameter storage dtype; below-fp32 keeps fp32 masters in opt state",
     )
     p.add_argument(
+        "--optim_precision", default="master_fp32",
+        choices=["master_fp32", "bf16_sr"],
+        help="optimizer numerics for low-precision params: master_fp32 keeps "
+        "fp32 masters + fp32 Adam moments (12 B/param); bf16_sr is "
+        "master-less — bf16 moments + stochastic-rounding param updates "
+        "(4 B/param; fits 1B5 full-Adam on one 16 GB chip)",
+    )
+    p.add_argument(
         "--stacked_layers", default=0, type=int,
         help="stack blocks 1..L-1 so the layer loop is one lax.scan body "
         "(O(1)-in-depth compile time; x070, no partial freeze/TP)",
@@ -127,6 +135,7 @@ def make_configs(args):
         freeze_rwkv_layers=args.freeze_rwkv,
         freeze_emb=bool(args.freeze_emb), freeze_proj=bool(args.freeze_proj),
         zero_stage=args.zero_stage, param_dtype=args.param_dtype,
+        optim_precision=args.optim_precision,
         stacked_layers=bool(args.stacked_layers),
     )
     return vlm_cfg, tcfg
@@ -231,6 +240,14 @@ def main(argv=None):
         )
 
     tok = get_tokenizer()
+    tok_vocab = getattr(tok, "vocab_size", 65536)
+    if args.vocab_size < tok_vocab:
+        logging.warning(
+            "vocab_size %d is smaller than the tokenizer's %d: token ids "
+            "beyond the head are CLAMPED in the loss (finite but wrong) — "
+            "use the full vocab for real training",
+            args.vocab_size, tok_vocab,
+        )
     params = init_visualrwkv_params(jax.random.PRNGKey(0), vlm_cfg)
     if args.model_path:
         from visualrwkv_tpu.convert.pth_import import import_rwkv_state_dict, load_pth
