@@ -487,3 +487,147 @@ def test_nonfinite_gradients_are_skipped():
 
     ok, _ = clip.update(good, state)
     assert float(jnp.abs(jax.tree_util.tree_leaves(ok)[0]).max()) > 0
+
+
+def test_sr_round_bf16_unbiased():
+    """Stochastic rounding is unbiased: the mean over many elements of a
+    value exactly between two bf16 neighbours lands on the value, and
+    non-finite inputs pass through."""
+    from visualrwkv_tpu.train.optim import sr_round_bf16
+
+    x = jnp.full((1 << 16,), 1.0 + 2.0**-10, jnp.float32)  # sub-ulp offset
+    out = sr_round_bf16(jax.random.PRNGKey(0), x).astype(jnp.float32)
+    vals = np.unique(np.asarray(out))
+    # bf16 ulp at 1.0 is 2^-7 (7 explicit mantissa bits)
+    assert set(vals).issubset({1.0, float(jnp.bfloat16(1.0 + 2.0**-7))}), vals
+    # E[out] = 1 + 2^-10; up-round probability 1/8, sd of the mean ~
+    # 2^-7 * sqrt(7/64) / 256 ~ 1e-5 -> ~10 sigma budget
+    assert abs(float(out.mean()) - (1.0 + 2.0**-10)) < 1e-4
+    bad = jnp.array([jnp.inf, -jnp.inf, jnp.nan], jnp.float32)
+    outb = np.asarray(sr_round_bf16(jax.random.PRNGKey(1), bad), np.float32)
+    assert outb[0] == np.inf and outb[1] == -np.inf and np.isnan(outb[2])
+
+
+def test_bf16_sr_accumulates_tiny_updates():
+    """optim_precision='bf16_sr': no fp32 masters, bf16 Adam moments, and
+    sub-ulp updates still advance in expectation via stochastic rounding."""
+    from visualrwkv_tpu.train.optim import (
+        MasterFP32State,
+        apply_updates_sr,
+        make_optimizer,
+    )
+
+    params = {"w": jnp.full((8, 128), 1.0, jnp.bfloat16)}
+    grads = {"w": jnp.full((8, 128), 1.0, jnp.bfloat16)}
+    tcfg = TrainConfig(lr_init=1e-4, lr_final=1e-4, warmup_steps=0,
+                       grad_clip=0.0, optim_precision="bf16_sr")
+    opt = make_optimizer(tcfg, params, total_steps=1000, n_layer=0)
+    state = opt.init(params)
+    assert not isinstance(state, MasterFP32State)
+    moments = [
+        x for x in jax.tree_util.tree_leaves(state) if hasattr(x, "ndim") and x.ndim == 2
+    ]
+    assert moments and all(x.dtype == jnp.bfloat16 for x in moments)
+
+    p = params
+    for i in range(100):  # per-step |update| ~ lr = 1e-4 << ulp@1.0 = 2^-8
+        upd, state = opt.update(grads, state, p)
+        assert upd["w"].dtype == jnp.float32
+        p = apply_updates_sr(p, upd, jax.random.PRNGKey(i))
+    # deterministic rounding would leave the param at exactly 1.0
+    drift = 1.0 - float(jnp.mean(p["w"].astype(jnp.float32)))
+    assert 5e-3 < drift < 2e-2, drift  # E[drift] ~ 100 * 1e-4 = 1e-2
+
+
+@pytest.mark.slow
+def test_bf16_sr_training_tracks_fp32():
+    """Full trainer with the master-less bf16_sr mode: loss decreases and
+    lands near the fp32 run (SR noise makes it approximate, not exact)."""
+    cfg = tiny_vlm_cfg()
+    params = init_visualrwkv_params(jax.random.PRNGKey(0), cfg)
+    fixed = make_batch(jax.random.PRNGKey(1))
+    mesh = make_mesh()
+
+    final = {}
+    for pd, mode in (("float32", "master_fp32"), ("bfloat16", "bf16_sr")):
+        tcfg = TrainConfig(
+            lr_init=1e-2, lr_final=1e-2, epoch_steps=8, epoch_count=1,
+            micro_bsz=8, grad_cp=True, zero_stage=1, grad_clip=1.0,
+            param_dtype=pd, optim_precision=mode,
+        )
+        tr = Trainer(cfg, tcfg, jax.tree_util.tree_map(jnp.copy, params), mesh=mesh)
+        tr.run_epoch(lambda s: fixed, epoch=0)
+        final[mode] = [h["loss"] for h in tr.history]
+        if mode == "bf16_sr":
+            from visualrwkv_tpu.train.optim import MasterFP32State
+
+            assert not isinstance(tr.state.opt_state, MasterFP32State)
+            leaf = jax.tree_util.tree_leaves(tr.state.params)[0]
+            assert leaf.dtype == jnp.bfloat16
+
+    sr = final["bf16_sr"]
+    assert sr[-1] < sr[0], sr
+    assert abs(sr[-1] - final["master_fp32"][-1]) < 0.25, final
+
+
+@pytest.mark.slow
+def test_zero3_param_sharded_step_matches_zero1():
+    """zero_stage=3 (params FSDP-sharded over `data`) must produce the same
+    losses as the replicated-param zero_stage=1 run — GSPMD all-gathers are
+    numerics-neutral. DeepSpeed stage-3 analog (v7.00/train.py:153-154)."""
+    cfg = tiny_vlm_cfg()
+    params = init_visualrwkv_params(jax.random.PRNGKey(0), cfg)
+    fixed = make_batch(jax.random.PRNGKey(1))
+    mesh = make_mesh()
+
+    hist = {}
+    for stage in (1, 3):
+        tcfg = TrainConfig(
+            lr_init=1e-2, lr_final=1e-2, epoch_steps=4, epoch_count=1,
+            micro_bsz=8, grad_cp=True, zero_stage=stage, grad_clip=1.0,
+        )
+        tr = Trainer(cfg, tcfg, jax.tree_util.tree_map(jnp.copy, params), mesh=mesh)
+        tr.run_epoch(lambda s: fixed, epoch=0)
+        hist[stage] = [h["loss"] for h in tr.history]
+        if stage == 3:
+            big = [
+                x for x in jax.tree_util.tree_leaves(tr.state.params)
+                if hasattr(x, "sharding") and x.size >= 2**16
+            ]
+            assert big and any(
+                "data" in (x.sharding.spec or ()) for x in big
+            ), "no parameter leaf actually sharded under zero_stage=3"
+    np.testing.assert_allclose(hist[1], hist[3], rtol=2e-5)
+
+
+@pytest.mark.slow
+def test_offload_with_leftpad_insertion():
+    """offload_optimizer + insertion_mode='leftpad' (previously a guarded
+    NotImplementedError): the streamed grad step takes the same batch-static
+    plan kwarg as the in-jit step and must track the in-jit optimizer's
+    losses on the same leftpad batches."""
+    cfg = tiny_vlm_cfg().replace(insertion_mode="leftpad")
+    params = init_visualrwkv_params(jax.random.PRNGKey(0), cfg)
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    bsz, T = 4, 32
+    ids = np.array(jax.random.randint(k1, (bsz, T), 1, 300))
+    ids[:, 2] = IMAGE_TOKEN_INDEX
+    labels = np.where(ids == IMAGE_TOKEN_INDEX, IGNORE_INDEX, ids)
+    images = {"dino": np.asarray(
+        jax.random.randint(k2, (bsz, 16, 16, 3), 0, 255), np.uint8)}
+    batch = {"input_ids": ids, "labels": labels, "images": images}
+
+    hist = {}
+    for offload in (False, True):
+        tcfg = TrainConfig(
+            lr_init=1e-2, lr_final=1e-2, epoch_steps=3, epoch_count=1,
+            micro_bsz=bsz, grad_cp=False, zero_stage=0, grad_clip=1.0,
+            offload_optimizer=offload,
+        )
+        tr = Trainer(cfg, tcfg, jax.tree_util.tree_map(jnp.copy, params),
+                     mesh=make_mesh(n_data=1))
+        assert (tr._streamed is not None) == offload
+        tr.run_epoch(lambda s: batch, epoch=0)
+        hist[offload] = [h["loss"] for h in tr.history]
+    np.testing.assert_allclose(hist[True], hist[False], rtol=1e-4, atol=1e-5)

@@ -159,6 +159,16 @@ class TrainConfig:
     # parameter storage dtype: "float32" (default) or "bfloat16" (params +
     # grads in bf16, fp32 master weights kept in the optimizer state)
     param_dtype: str = "float32"
+    # optimizer numerics for low-precision params:
+    #   "master_fp32" (default): fp32 master weights + fp32 Adam moments in
+    #     the optimizer state (DeepSpeed bf16-mode analog; 12 bytes/param of
+    #     optimizer HBM on top of the bf16 params).
+    #   "bf16_sr": NO master weights; Adam moments stored bf16 (math fp32
+    #     per step) and the bf16 params updated with STOCHASTIC ROUNDING so
+    #     sub-ulp updates advance in expectation instead of rounding to zero
+    #     (the Gopher/large-scale bf16-SR recipe). 4 bytes/param of optimizer
+    #     state — makes 1B5 full-Adam training fit a single 16 GB chip.
+    optim_precision: str = "master_fp32"
     # stacked-layer parameter layout: blocks 1..L-1 stored as leading-axis
     # stacks so the layer loop compiles as ONE lax.scan body (compile time
     # O(1) in depth; ~5x faster at 1B5). x070-only; checkpoints stay in the

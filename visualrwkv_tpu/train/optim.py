@@ -139,6 +139,96 @@ def with_fp32_master(
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+class ScaleByAdamLowMemState(NamedTuple):
+    """State of :func:`scale_by_adam_lowmem`: bf16 moments + fp32 step count."""
+
+    count: jnp.ndarray
+    mu: Any
+    nu: Any
+
+
+def scale_by_adam_lowmem(
+    b1: float, b2: float, eps: float, moment_dtype=jnp.bfloat16
+) -> optax.GradientTransformation:
+    """Adam moment scaling with moments STORED in ``moment_dtype`` (bf16).
+
+    Per-step math (EMA update, bias correction, the m/(sqrt(v)+eps) ratio)
+    runs in fp32; only the carried moments are rounded. Relative rounding
+    noise on the second moment enters through sqrt() so the step-size error
+    is ~2^-9 — far below Adam's own gradient noise. Emits fp32 updates
+    regardless of gradient dtype so downstream weight decay / lr scaling and
+    the stochastic-rounding application (:func:`apply_updates_sr`) stay fp32.
+    """
+    f32 = jnp.float32
+
+    def init_fn(params):
+        zeros = lambda p: jnp.zeros(jnp.shape(p), moment_dtype)
+        return ScaleByAdamLowMemState(
+            count=jnp.zeros((), jnp.int32),
+            mu=jax.tree_util.tree_map(zeros, params),
+            nu=jax.tree_util.tree_map(zeros, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state.count + 1
+        c1 = 1.0 - b1 ** count.astype(f32)
+        c2 = 1.0 - b2 ** count.astype(f32)
+
+        tm = jax.tree_util.tree_map
+        mu32 = tm(
+            lambda g, m: b1 * m.astype(f32) + (1.0 - b1) * g.astype(f32),
+            updates, state.mu,
+        )
+        nu32 = tm(
+            lambda g, v: b2 * v.astype(f32) + (1.0 - b2) * jnp.square(g.astype(f32)),
+            updates, state.nu,
+        )
+        u = tm(lambda m, v: (m / c1) / (jnp.sqrt(v / c2) + eps), mu32, nu32)
+        cast = lambda t: tm(lambda x: x.astype(moment_dtype), t)
+        return u, ScaleByAdamLowMemState(count=count, mu=cast(mu32), nu=cast(nu32))
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def sr_round_bf16(key, x32: jnp.ndarray) -> jnp.ndarray:
+    """Stochastically round fp32 -> bf16: add uniform random bits below the
+    bf16 truncation point, then truncate. Unbiased: E[sr(x)] = x (the carry
+    into the kept mantissa fires with probability proportional to the
+    discarded fraction). Non-finite inputs pass through deterministically."""
+    bits = jax.lax.bitcast_convert_type(x32.astype(jnp.float32), jnp.uint32)
+    rnd = jax.random.bits(key, x32.shape, jnp.uint32) & jnp.uint32(0xFFFF)
+    sbits = (bits + rnd) & jnp.uint32(0xFFFF0000)
+    out = jax.lax.bitcast_convert_type(sbits, jnp.float32).astype(jnp.bfloat16)
+    return jnp.where(jnp.isfinite(x32), out, x32.astype(jnp.bfloat16))
+
+
+def apply_updates_sr(params: Params, updates: Params, key) -> Params:
+    """``optax.apply_updates`` with stochastic rounding into bf16 params.
+
+    bf16 leaves with fp32 updates take ``sr_round(p32 + u)`` — sub-ulp
+    updates (lr << ulp(param)) advance in expectation instead of silently
+    rounding to zero, which is what makes master-less bf16 training viable.
+    Other leaves follow plain optax semantics.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    ups = treedef.flatten_up_to(updates)
+    keys = jax.random.split(key, max(len(leaves), 1))
+
+    def one(p, u, k):
+        if u is None:
+            return p
+        if (
+            hasattr(p, "dtype")
+            and p.dtype == jnp.bfloat16
+            and jnp.asarray(u).dtype == jnp.float32
+        ):
+            return sr_round_bf16(k, p.astype(jnp.float32) + u)
+        return (p + u.astype(jnp.asarray(p).dtype)).astype(jnp.asarray(p).dtype)
+
+    return treedef.unflatten(one(p, u, k) for p, u, k in zip(leaves, ups, keys))
+
+
 def value_and_clipped_grads(loss_fn, params, batch, accum: int, grad_clip: float):
     """Shared loss+grad core of the train steps: in-jit gradient accumulation
     over a leading axis plus fp32 global-norm clipping (the
@@ -282,12 +372,21 @@ def make_optimizer(
         else optax.identity()
     )
 
+    if cfg.optim_precision not in ("master_fp32", "bf16_sr"):
+        raise ValueError(f"unknown optim_precision {cfg.optim_precision!r}")
+    lean = cfg.optim_precision == "bf16_sr"
+    adam = (
+        scale_by_adam_lowmem(cfg.beta1, cfg.beta2, cfg.adam_eps)
+        if lean
+        else optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2, eps=cfg.adam_eps)
+    )
+
     @optax.inject_hyperparams
     def base(learning_rate, weight_decay):
         return optax.chain(
             stacked_guard,
             clip_by_global_norm_f32(cfg.grad_clip) if cfg.grad_clip > 0 else optax.identity(),
-            optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2, eps=cfg.adam_eps),
+            adam,
             optax.add_decayed_weights(weight_decay, mask=wd_mask),
             optax.scale_by_learning_rate(learning_rate),
             stacked_guard,
@@ -304,13 +403,15 @@ def make_optimizer(
     tx = optax.multi_transform({"train": opt, "freeze": optax.set_to_zero()}, labels)
 
     # mixed precision: if any trainable leaf is stored below fp32, keep fp32
-    # master weights in the optimizer state (DeepSpeed bf16-mode analog)
+    # master weights in the optimizer state (DeepSpeed bf16-mode analog) —
+    # unless optim_precision="bf16_sr", whose whole point is master-less
+    # bf16 (the trainer then applies updates via apply_updates_sr)
     any_low = any(
         bool(t) and jnp.asarray(p).dtype != jnp.float32
         for t, p in zip(
             jax.tree_util.tree_leaves(mask), jax.tree_util.tree_leaves(params)
         )
     )
-    if any_low:
+    if any_low and not lean:
         tx = with_fp32_master(tx, mask)
     return tx

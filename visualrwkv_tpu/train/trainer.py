@@ -148,7 +148,15 @@ def make_train_step(
                 lambda x, s: jax.device_put(x, s) if hasattr(x, "shape") else x,
                 new_opt_state, opt_host_shardings,
             )
-        new_params = optax.apply_updates(state_params, updates)
+        if cfg.optim_precision == "bf16_sr":
+            # master-less bf16: apply the fp32 updates with stochastic
+            # rounding (per-step key, deterministic in `step` for resume)
+            from visualrwkv_tpu.train.optim import apply_updates_sr
+
+            key = jax.random.fold_in(jax.random.PRNGKey(0x5A), step)
+            new_params = apply_updates_sr(state_params, updates, key)
+        else:
+            new_params = optax.apply_updates(state_params, updates)
         return new_params, new_opt_state, step + 1, loss
 
     return jax.jit(step_fn, donate_argnums=(0, 1), static_argnames=("plan",))
@@ -226,6 +234,12 @@ class Trainer:
         # streamed host-offloaded optimizer (DeepSpeedCPUAdam analog): state
         # in pinned host memory, ONE block's slice device-resident at a time
         # (the in-jit whole-tree round-trip OOMs at 1B5; see train/offload.py)
+        if train_cfg.optim_precision == "bf16_sr" and train_cfg.offload_optimizer:
+            raise NotImplementedError(
+                "offload_optimizer keeps fp32 masters host-side by design; "
+                "optim_precision='bf16_sr' targets the opposite regime "
+                "(all-HBM lean state) — pick one"
+            )
         self._streamed = None
         if (
             train_cfg.offload_optimizer
@@ -296,10 +310,10 @@ class Trainer:
             wandb_project=train_cfg.wandb_project,
         )
 
-    def _streamed_step(self, params, batch):
+    def _streamed_step(self, params, batch, **step_kwargs):
         """Streamed-offload step: jitted grad on device, then per-group host
         round-trip optimizer updates (train/offload.py)."""
-        loss, grads = self._grad_step(params, batch)
+        loss, grads = self._grad_step(params, batch, **step_kwargs)
         new_params = self._streamed.apply(grads, params)
         return new_params, loss
 
@@ -351,12 +365,9 @@ class Trainer:
             with self.mesh, wkv_spmd(spmd_mesh):
                 device_batch = shard_batch(batch, self.mesh)
                 if self._streamed is not None:
-                    if step_kwargs:
-                        raise NotImplementedError(
-                            "offload_optimizer + insertion_mode='leftpad' is "
-                            "not wired; use the in-jit optimizer"
-                        )
-                    params, loss = self._streamed_step(params, device_batch)
+                    params, loss = self._streamed_step(
+                        params, device_batch, **step_kwargs
+                    )
                     opt_state = self._streamed.opt_state
                     step = step + 1
                 else:
