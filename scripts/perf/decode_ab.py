@@ -52,10 +52,14 @@ def main():
                 logits, st = rwkv7.rwkv7_decode_step(params, cfg, tok, st)
                 return (logits.astype(jnp.float32), st), tok
 
-            (_, states), toks = jax.lax.scan(
+            (logits, states), toks = jax.lax.scan(
                 body, (first_logits, states), None, length=T
             )
-            return jnp.sum(toks), toks
+            # return the carry so reps can be CHAINED (each rep consumes the
+            # previous rep's logits/state): independent same-input dispatches
+            # could overlap on a backend with multiple streams and understate
+            # the per-step time (advisor round-3 finding)
+            return jnp.sum(toks), logits, states
 
         return decode
 
@@ -75,11 +79,12 @@ def main():
         try:
             decode = make_decode()
             st = states_for(mode)
-            ssum, _ = decode(params, fl, st)
+            ssum, lg, st2 = decode(params, fl, st)
             int(ssum)  # compile + sync
             t0 = time.time()
+            lg, st2 = fl, st
             for _ in range(args.reps):
-                ssum, _ = decode(params, fl, st)
+                ssum, lg, st2 = decode(params, lg, st2)
             int(ssum)
             dt = (time.time() - t0) / args.reps
             print(f"{mode:<18} {dt/T*1e3:7.3f} ms/step  "

@@ -137,6 +137,20 @@ class InferenceEngine:
         — identical math, prefill states are converted once before decode."""
         if state_layout not in ("head", "flat"):
             raise ValueError(f"unknown state_layout {state_layout!r}")
+        if cfg.rwkv.version == "x040":
+            # x040 carries a [B, C, 3] aa/bb/pp triple, not a matrix WKV
+            # state: the flat [B, Nv, H*Nk] relayout is shape-incompatible,
+            # and bf16 is unsafe for the log-domain max-tracked pp carry.
+            if state_layout != "head":
+                raise ValueError(
+                    "state_layout='flat' requires a matrix-state RWKV version "
+                    "(x052/x060/x070); x040 carries an aa/bb/pp triple"
+                )
+            if jnp.dtype(state_dtype) != jnp.float32:
+                raise ValueError(
+                    "x040 requires state_dtype='float32' (the log-domain "
+                    "pp carry is max-tracked and unsafe in bf16)"
+                )
         self.params = params
         self.cfg = cfg
         self.state_dtype = jnp.dtype(state_dtype)

@@ -185,8 +185,18 @@ def wkv7_step_auto(
     """Decode-step dispatch; see :func:`set_wkv_step_impl` for the policy.
 
     A 3-D state selects the lane-flat layout (:func:`wkv7_step_flat`;
-    fused Pallas variant under ``set_wkv_step_impl("pallas")``)."""
+    fused Pallas variant under ``set_wkv_step_impl("pallas")``). NOTE:
+    3-D here means the lane-flat wkv7 state [B, N_v, H*N_k] specifically —
+    x040's aa/bb/pp triple is also 3-D ([B, C, 3]) but must never reach
+    this function (it dispatches to wkv4_step); the shape assertion below
+    catches any such mis-routing loudly."""
     if state.ndim == 3:
+        H, N = r.shape[-2], r.shape[-1]
+        assert state.shape[-2:] == (N, H * N), (
+            f"wkv7_step_auto: 3-D state {state.shape} is not the lane-flat "
+            f"[B, {N}, {H * N}] wkv7 layout (x040 aa/bb/pp states do not "
+            "belong here)"
+        )
         if _STEP_IMPL == "pallas" and jax.default_backend() == "tpu":
             from visualrwkv_tpu.ops.wkv7_pallas import wkv7_step_flat_pallas
 
