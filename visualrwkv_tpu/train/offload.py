@@ -145,17 +145,31 @@ class StreamedOffloadOptimizer:
 
 def make_offload_grad_step(cfg: TrainConfig, vlm_cfg: VLMConfig):
     """Jitted (loss, clipped grads) for the streamed path (shared accum+clip
-    core: optim.value_and_clipped_grads)."""
+    core: optim.value_and_clipped_grads). Supports the leftpad insertion
+    mode through the same batch-static ``plan`` kwarg as the in-jit step
+    (the step recompiles per distinct chunk-bucketed plan)."""
+    import functools
+
     from visualrwkv_tpu.models.visualrwkv import training_loss
     from visualrwkv_tpu.train.optim import value_and_clipped_grads
 
-    def loss_fn(params, micro):
+    leftpad = getattr(vlm_cfg, "insertion_mode", "scatter") == "leftpad"
+
+    def loss_fn(params, micro, plan=None):
+        if leftpad:
+            from visualrwkv_tpu.models.visualrwkv import training_loss_leftpad
+
+            return training_loss_leftpad(
+                params, vlm_cfg, micro["input_ids"], micro["labels"],
+                micro.get("images"), plan=plan, grad_cp=cfg.grad_cp,
+            )
         return training_loss(params, vlm_cfg, micro["input_ids"], micro["labels"],
                              micro.get("images"), grad_cp=cfg.grad_cp)
 
-    def step(params, batch):
+    def step(params, batch, plan=None):
         return value_and_clipped_grads(
-            loss_fn, params, batch, cfg.accumulate_grad_batches, cfg.grad_clip
+            functools.partial(loss_fn, plan=plan), params, batch,
+            cfg.accumulate_grad_batches, cfg.grad_clip,
         )
 
-    return jax.jit(step)
+    return jax.jit(step, static_argnames=("plan",))
