@@ -69,7 +69,8 @@ def wait_for_tpu(max_wait_s: float | None = None, interval_s: float = 60.0) -> N
             time.sleep(interval_s)
 
 
-def measure_ttft_336px(cfg=None, reps: int = 15, drop: int = 5) -> float:
+def measure_ttft_336px(cfg=None, reps: int = 15, drop: int = 5,
+                       input_px: int = 336) -> float:
     """p50 time-to-first-token for ONE 336px image through the flagship 1B5
     assembly: device-side resize (336 -> 448/448/1024) + normalize ->
     DINOv2-L/SigLIP-SO400M/SAM-B encode (Pallas flash attention) ->
@@ -237,12 +238,17 @@ def measure_decode() -> dict:
 def measure_train_step_0b4(x: int = 16, rounds: int = 2, n_layer: int = 24,
                            n_embd: int = 1024, micro_bsz: int = 2,
                            accum: int = 4, T: int = 2048,
-                           vocab_size: int = 65536) -> float:
-    """Steady-state 0B4 training throughput (tok/s/chip): text-only RWKV-7
-    L24/C1024, bf16 params + fp32 masters, stacked layout, per-block remat,
-    fused two-level WKV kernels, micro-batch 2 x in-jit grad-accum 4 (global
-    batch 8 @ T2048 — the measured per-token optimum: the B2 activation
-    working set runs ~28%% faster than the same tokens as one B8 batch)."""
+                           vocab_size: int = 65536, version: str = "x070",
+                           optim_precision: str = "master_fp32",
+                           stacked: bool = True) -> float:
+    """Steady-state text-only training throughput (tok/s/chip). Default
+    geometry is 0B4 RWKV-7 L24/C1024: bf16 params + fp32 masters, stacked
+    layout, per-block remat, fused two-level WKV kernels, micro-batch 2 x
+    in-jit grad-accum 4 (global batch 8 @ T2048 — the measured per-token
+    optimum: the B2 activation working set runs ~28%% faster than the same
+    tokens as one B8 batch). `version`/`optim_precision` parameterize the
+    v6-family and 1B5 bf16_sr bench legs (stacked is x070-only; the trainer
+    falls back to the list layout for other versions)."""
     import numpy as np
 
     from visualrwkv_tpu.config import RWKVConfig, TrainConfig, VisionConfig, VLMConfig
@@ -251,16 +257,18 @@ def measure_train_step_0b4(x: int = 16, rounds: int = 2, n_layer: int = 24,
 
     vlm_cfg = VLMConfig(
         rwkv=RWKVConfig(n_layer=n_layer, n_embd=n_embd, ctx_len=T,
-                        vocab_size=vocab_size),
+                        vocab_size=vocab_size, version=version),
         vision=VisionConfig(towers=()),
     )
     cfg = TrainConfig(
         micro_bsz=micro_bsz, accumulate_grad_batches=accum,
-        param_dtype="bfloat16", stacked_layers=True, grad_cp=True,
+        param_dtype="bfloat16", stacked_layers=stacked, grad_cp=True,
+        optim_precision=optim_precision,
         epoch_steps=100, epoch_count=1,
     )
     params = init_visualrwkv_params(jax.random.PRNGKey(0), vlm_cfg)
     tr = Trainer(vlm_cfg, cfg, params, proj_dir="/tmp/bench_train", log_every=10**9)
+    del params  # free the fp32 init tree (6 GB at 1B5) before stepping
 
     rng = np.random.default_rng(0)
     eff = micro_bsz * accum
