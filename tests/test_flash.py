@@ -127,3 +127,29 @@ def test_sam_tower_flash_equivalence():
         sam_mod._MAX_DENSE_TOKENS = old
     assert _rel(out, ref) < 1e-5, _rel(out, ref)
     assert _rel(chunked, ref) < 1e-5
+
+
+def test_sam_flash_gradients_multiblock():
+    """Fused backward with MULTIPLE key/query blocks (N=1024 -> 2 blocks of
+    512): exercises the cross-block accumulation of dq/drel (pass 1) and
+    dk/dv (pass 2), which the N=256 single-block case cannot."""
+    key = jax.random.PRNGKey(5)
+    G, H, W, hd = 1, 32, 32, 16
+    N = H * W
+    ks = jax.random.split(key, 5)
+    q, k, v = (jax.random.normal(kk, (G, N, hd), jnp.float32) for kk in ks[:3])
+    rel_h = 0.1 * jax.random.normal(ks[3], (G, N, H), jnp.float32)
+    rel_w = 0.1 * jax.random.normal(ks[4], (G, N, W), jnp.float32)
+    scale = hd**-0.5
+    assert sam_flash_supported(N, W)
+
+    def loss_flash(*a):
+        return jnp.sum(jnp.sin(sam_flash_attention(*a, scale)))
+
+    def loss_ref(*a):
+        return jnp.sum(jnp.sin(sam_attend_reference(*a, scale)))
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2, 3, 4))(q, k, v, rel_h, rel_w)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, rel_h, rel_w)
+    for gf, gr in zip(g_flash, g_ref):
+        assert _rel(gf, gr) < 1e-5, _rel(gf, gr)
