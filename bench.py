@@ -69,6 +69,129 @@ def wait_for_tpu(max_wait_s: float | None = None, interval_s: float = 60.0) -> N
             time.sleep(interval_s)
 
 
+def measure_vision_suite(reps: int = 15, drop: int = 5) -> dict:
+    """One flagship 1B5 assembly build -> three driver-recorded numbers:
+    p50 TTFT for a 336px and a 448px input image (the north-star gate is
+    <=150 ms @336), and batched image-encode throughput (images/sec through
+    resize -> DINOv2-L/SigLIP/SAM-B -> projector at 448px, batch 8 — the
+    north star's "prefill images/sec"). Sharing the params across the three
+    legs avoids re-initializing the 2.3B-param assembly (reference protocol
+    app/benchmark_gpu.py:121-148)."""
+    import numpy as np
+
+    from visualrwkv_tpu.config import RWKVConfig, VisionConfig, VLMConfig
+    from visualrwkv_tpu.data.conversation import IMAGE_TOKEN_INDEX
+    from visualrwkv_tpu.data.transforms import resize_images
+    from visualrwkv_tpu.models.visualrwkv import (
+        encode_images,
+        init_visualrwkv_params,
+        vlm_forward,
+    )
+
+    cfg = VLMConfig(
+        rwkv=RWKVConfig(n_layer=24, n_embd=2048, vocab_size=65536,
+                        head_size=64, compute_dtype="bfloat16", ctx_len=2048),
+        vision=VisionConfig(),
+        proj_type="mlp",
+        num_token_per_image=1024,
+    )
+
+    def init_bf16(key):
+        p = init_visualrwkv_params(key, cfg)
+        return jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), p)
+
+    params = jax.jit(init_bf16)(jax.random.PRNGKey(0))
+    tower_sizes = {
+        t: (cfg.vision.sam_image_size if t == "sam" else cfg.vision.image_size)
+        for t in cfg.vision.towers
+    }
+
+    @jax.jit
+    def first_token(params, img, ids):
+        images = {t: resize_images(img, s) for t, s in tower_sizes.items()}
+        logits = vlm_forward(params, cfg, ids, images)
+        return jnp.argmax(logits[:, -1], axis=-1)
+
+    ids_np = np.full((1, cfg.num_token_per_image + 32), 7, np.int32)
+    ids_np[:, : cfg.num_token_per_image] = IMAGE_TOKEN_INDEX
+    ids = jnp.asarray(ids_np)
+    out = {}
+    rng = np.random.default_rng(0)
+    for px in (336, 448):
+        img = jnp.asarray(rng.integers(0, 256, (1, px, px, 3), np.uint8))
+        lat = []
+        for _ in range(reps):
+            t0 = time.time()
+            int(first_token(params, img, ids)[0])
+            lat.append(time.time() - t0)
+        lat = sorted(lat[drop:])
+        out[f"ttft_p50_ms_{px}px"] = round(lat[len(lat) // 2] * 1e3, 1)
+
+    B_img = 8
+    img = jnp.asarray(rng.integers(0, 256, (B_img, 448, 448, 3), np.uint8))
+
+    @jax.jit
+    def encode(params, img):
+        images = {t: resize_images(img, s) for t, s in tower_sizes.items()}
+        f = encode_images(params, cfg, images)
+        return jnp.sum(f.astype(jnp.float32))
+
+    float(encode(params, img))
+    t0 = time.time()
+    enc_reps = 5
+    for _ in range(enc_reps):
+        s = encode(params, img)
+    float(s)
+    out["images_per_sec_encode_448"] = round(
+        B_img * enc_reps / (time.time() - t0), 2
+    )
+    return out
+
+
+def measure_decode_7b_x060(B: int = 16, T: int = 128) -> float:
+    """7B RWKV-6 (BASELINE configs[3] geometry: L32 D4096) int8 weight-only
+    decode with bf16-carried states on ONE chip. init + quantize run fused in
+    a single jit so the 28 GB fp32 init tree never materializes."""
+    from visualrwkv_tpu.config import RWKVConfig
+    from visualrwkv_tpu.infer.quant import quantize_lm_params
+    from visualrwkv_tpu.models import lm
+
+    cfg = RWKVConfig(n_layer=32, n_embd=4096, vocab_size=65536, head_size=64,
+                     compute_dtype="bfloat16", ctx_len=2048, version="x060")
+
+    @jax.jit
+    def init_q(key):
+        return quantize_lm_params(lm.init_lm_params(key, cfg))
+
+    params = init_q(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def decode(params, first_logits, states):
+        def body(carry, _):
+            logits, st = carry
+            tok = jnp.argmax(logits, axis=-1)
+            logits, st = lm.lm_decode_step(params, cfg, tok, st)
+            return (logits.astype(jnp.float32), st), tok
+
+        (logits, states), toks = jax.lax.scan(
+            body, (first_logits, states), None, length=T
+        )
+        return jnp.sum(toks), logits, states
+
+    fl = jnp.zeros((B, cfg.vocab_size), jnp.float32)
+    st = lm.init_lm_state(cfg, B)
+    st = [s._replace(wkv=s.wkv.astype(jnp.bfloat16)) for s in st]
+    ssum, lg, st2 = decode(params, fl, st)
+    int(ssum)
+    reps = 3
+    lg, st2 = fl, st
+    t0 = time.time()
+    for _ in range(reps):
+        ssum, lg, st2 = decode(params, lg, st2)
+    int(ssum)
+    return round(B * T * reps / (time.time() - t0), 1)
+
+
 def measure_ttft_336px(cfg=None, reps: int = 15, drop: int = 5,
                        input_px: int = 336) -> float:
     """p50 time-to-first-token for ONE 336px image through the flagship 1B5
@@ -292,22 +415,49 @@ def measure_train_step_0b4(x: int = 16, rounds: int = 2, n_layer: int = 24,
 def main():
     if os.environ.get("BENCH_SKIP_PROBE") != "1":
         wait_for_tpu()
+    t_start = time.time()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "3000"))
     result = measure_decode()
-    # image-inclusive TTFT (BASELINE gate <= 150 ms @336px); runs after the
-    # decode section returns so its HBM buffers are released first
-    if os.environ.get("BENCH_TTFT", "1") == "1":
+    extra = result["extra"]
+
+    # optional legs run in increasing-memory order, each gated by an env var
+    # AND a global soft budget so a degraded tunnel cannot eat the driver's
+    # whole window; every failure/skip is recorded machine-readably.
+    def leg(name, env, fn):
+        if os.environ.get(env, "1") != "1":
+            return
+        if time.time() - t_start > budget_s:
+            extra[f"{name}_skipped"] = "budget"
+            return
         try:
-            result["extra"]["ttft_p50_ms_336px"] = measure_ttft_336px()
-        except Exception as e:  # keep the headline even if the VLM leg dies
-            result["extra"]["ttft_error"] = f"{type(e).__name__}: {e}"[:300]
+            out = fn()
+            if isinstance(out, dict):
+                extra.update(out)
+            else:
+                extra[name] = out
+        except Exception as e:  # keep the headline even if a leg dies
+            extra[f"{name}_error"] = f"{type(e).__name__}: {e}"[:300]
+
+    # image-inclusive TTFT @336/448 + batched encode throughput (BASELINE
+    # gate <= 150 ms @336px; north-star "prefill images/sec")
+    leg("vision", "BENCH_TTFT", measure_vision_suite)
     # 0B4 training throughput (driver-recorded evidence for the train claims)
-    if os.environ.get("BENCH_TRAIN", "1") == "1":
-        try:
-            result["extra"]["train_tok_per_s_0B4_B2a4"] = (
-                measure_train_step_0b4()
-            )
-        except Exception as e:
-            result["extra"]["train_error"] = f"{type(e).__name__}: {e}"[:300]
+    leg("train_tok_per_s_0B4_B2a4", "BENCH_TRAIN", measure_train_step_0b4)
+    # v6-family training (the published-paper backbone) at the same geometry
+    leg(
+        "train_tok_per_s_0B4_x060", "BENCH_TRAIN_X060",
+        lambda: measure_train_step_0b4(x=8, version="x060", stacked=False),
+    )
+    # 1B5 training on ONE chip via the master-less bf16_sr optimizer
+    leg(
+        "train_tok_per_s_1B5_bf16sr", "BENCH_TRAIN_1B5",
+        lambda: measure_train_step_0b4(
+            x=8, n_embd=2048, optim_precision="bf16_sr"
+        ),
+    )
+    # 7B x060 int8 serving (BASELINE configs[3]); biggest HBM leg, runs last
+    leg("decode_tok_per_s_7B_x060_int8", "BENCH_7B", measure_decode_7b_x060)
+    extra["bench_total_s"] = round(time.time() - t_start, 1)
     print(json.dumps(result))
 
 

@@ -125,12 +125,15 @@ def leg_v6_train():
 def leg_sr_train():
     import bench
 
-    for mode in ("master_fp32", "bf16_sr"):
+    for mb, ac, mode in ((2, 4, "master_fp32"), (2, 4, "bf16_sr"),
+                         (1, 8, "master_fp32")):
         try:
-            t = bench.measure_train_step_0b4(x=8, rounds=2, optim_precision=mode)
-            log(f"x070 0B4 train B2xa4 {mode}: {t:.1f} tok/s/chip")
+            t = bench.measure_train_step_0b4(x=8, rounds=2, micro_bsz=mb,
+                                             accum=ac, optim_precision=mode)
+            log(f"x070 0B4 train B{mb}xa{ac} {mode}: {t:.1f} tok/s/chip")
         except Exception as e:
-            log(f"x070 0B4 train {mode}: FAIL {type(e).__name__}: {str(e)[:160]}")
+            log(f"x070 0B4 train B{mb}xa{ac} {mode}: FAIL "
+                f"{type(e).__name__}: {str(e)[:160]}")
 
 
 def leg_train_1b5():
@@ -257,19 +260,17 @@ def leg_encode():
             log(f"encode {tag}: FAIL {type(e).__name__}: {str(e)[:160]}")
 
 
-def leg_ttft448():
+def leg_vision_suite():
     import bench
 
-    t = bench.measure_ttft_336px.__wrapped__ if hasattr(
-        bench.measure_ttft_336px, "__wrapped__") else None
     try:
-        ms = bench.measure_ttft_336px()  # 336 reference point first
-        log(f"ttft 336px: {ms} ms")
+        log(f"vision suite: {bench.measure_vision_suite()}")
     except Exception as e:
-        log(f"ttft 336: FAIL {type(e).__name__}: {str(e)[:160]}")
+        log(f"vision suite: FAIL {type(e).__name__}: {str(e)[:160]}")
 
 
 LEGS = {
+    "vision_suite": leg_vision_suite,
     "encode": leg_encode,
     "wkv6_ab": leg_wkv6_ab,
     "wkv7_kchunk": leg_wkv7_kchunk,
