@@ -69,14 +69,16 @@ def wait_for_tpu(max_wait_s: float | None = None, interval_s: float = 60.0) -> N
             time.sleep(interval_s)
 
 
-def measure_vision_suite(reps: int = 15, drop: int = 5) -> dict:
+def measure_vision_suite(cfg=None, reps: int = 15, drop: int = 5,
+                         enc_batch: int = 8, enc_reps: int = 5) -> dict:
     """One flagship 1B5 assembly build -> three driver-recorded numbers:
     p50 TTFT for a 336px and a 448px input image (the north-star gate is
     <=150 ms @336), and batched image-encode throughput (images/sec through
     resize -> DINOv2-L/SigLIP/SAM-B -> projector at 448px, batch 8 — the
     north star's "prefill images/sec"). Sharing the params across the three
     legs avoids re-initializing the 2.3B-param assembly (reference protocol
-    app/benchmark_gpu.py:121-148)."""
+    app/benchmark_gpu.py:121-148). ``cfg`` overrides the flagship geometry
+    (the driver-contract smoke passes a tiny triple-tower config)."""
     import numpy as np
 
     from visualrwkv_tpu.config import RWKVConfig, VisionConfig, VLMConfig
@@ -88,13 +90,15 @@ def measure_vision_suite(reps: int = 15, drop: int = 5) -> dict:
         vlm_forward,
     )
 
-    cfg = VLMConfig(
-        rwkv=RWKVConfig(n_layer=24, n_embd=2048, vocab_size=65536,
-                        head_size=64, compute_dtype="bfloat16", ctx_len=2048),
-        vision=VisionConfig(),
-        proj_type="mlp",
-        num_token_per_image=1024,
-    )
+    if cfg is None:
+        cfg = VLMConfig(
+            rwkv=RWKVConfig(n_layer=24, n_embd=2048, vocab_size=65536,
+                            head_size=64, compute_dtype="bfloat16",
+                            ctx_len=2048),
+            vision=VisionConfig(),
+            proj_type="mlp",
+            num_token_per_image=1024,
+        )
 
     def init_bf16(key):
         p = init_visualrwkv_params(key, cfg)
@@ -127,7 +131,7 @@ def measure_vision_suite(reps: int = 15, drop: int = 5) -> dict:
         lat = sorted(lat[drop:])
         out[f"ttft_p50_ms_{px}px"] = round(lat[len(lat) // 2] * 1e3, 1)
 
-    B_img = 8
+    B_img = enc_batch
     img = jnp.asarray(rng.integers(0, 256, (B_img, 448, 448, 3), np.uint8))
 
     @jax.jit
@@ -138,7 +142,6 @@ def measure_vision_suite(reps: int = 15, drop: int = 5) -> dict:
 
     float(encode(params, img))
     t0 = time.time()
-    enc_reps = 5
     for _ in range(enc_reps):
         s = encode(params, img)
     float(s)

@@ -96,14 +96,18 @@ def test_dryrun_reexec_fails_loudly_on_child_error(monkeypatch):
         graft.dryrun_multichip(4)
 
 
-def test_bench_ttft_smoke():
-    """measure_ttft_336px flows end to end on a tiny triple-tower config
-    (device resize -> encode -> scatter -> prefill -> argmax first token)."""
+def test_bench_vision_suite_smoke():
+    """measure_vision_suite (the driver's BENCH_TTFT leg) flows end to end on
+    a tiny triple-tower config: device resize -> encode -> scatter -> prefill
+    -> argmax first token at 336 AND 448px, plus the batched encode leg."""
     bench = _load("bench_under_test3", "bench.py")
     graft = _load("graft_for_cfg", "__graft_entry__.py")
     cfg = graft._tiny_vlm_cfg(triple=True)
-    ms = bench.measure_ttft_336px(cfg=cfg, reps=3, drop=1)
-    assert isinstance(ms, float) and ms > 0
+    out = bench.measure_vision_suite(cfg=cfg, reps=2, drop=0, enc_batch=2,
+                                     enc_reps=1)
+    for k in ("ttft_p50_ms_336px", "ttft_p50_ms_448px",
+              "images_per_sec_encode_448"):
+        assert k in out and out[k] > 0, (k, out)
 
 
 def test_bench_train_step_flow_tiny():

@@ -20,11 +20,17 @@ from visualrwkv_tpu.models import rwkv4 as m
 @pytest.fixture(scope="module")
 def setup():
     cfg = RWKVConfig(
-        n_layer=2, n_embd=128, vocab_size=512,
+        n_layer=2, n_embd=64, vocab_size=256,
         compute_dtype="float32", version="x040",
     )
     params = m.init_rwkv4_params(jax.random.PRNGKey(0), cfg)
     return cfg, params
+
+
+# Every sequence forward in this module runs at (B, T) = (2, 12) so the x040
+# scan compiles ONCE for the whole file (each distinct shape costs a full
+# scan compile; this module used to pay ~6 of them).
+B0, T0 = 2, 12
 
 
 def rel_err(x, y):
@@ -34,21 +40,21 @@ def rel_err(x, y):
 
 def test_forward_shapes(setup):
     cfg, params = setup
-    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 10), 0, 512)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (B0, T0), 0, 256)
     logits, states = m.rwkv4_forward_tokens(params, cfg, tokens)
-    assert logits.shape == (2, 10, 512)
-    assert states[0].wkv.shape == (2, 128, 3)  # aa/bb/pp per channel
+    assert logits.shape == (B0, T0, 256)
+    assert states[0].wkv.shape == (B0, 64, 3)  # aa/bb/pp per channel
     assert np.isfinite(np.asarray(logits, np.float32)).all()
 
 
 def test_decode_step_matches_forward(setup):
     """T=1 stepping through init_state must reproduce the sequence forward."""
     cfg, params = setup
-    T = 8
-    tokens = jax.random.randint(jax.random.PRNGKey(2), (1, T), 0, 512)
+    T = T0
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (B0, T), 0, 256)
     logits_seq, _ = m.rwkv4_forward_tokens(params, cfg, tokens)
 
-    states = m.init_state_x040(cfg, 1)
+    states = m.init_state_x040(cfg, B0)
     outs = []
     for t in range(T):
         lg, states = m.rwkv4_decode_step(params, cfg, tokens[:, t], states)
@@ -60,10 +66,10 @@ def test_decode_step_matches_forward(setup):
 def test_state_chaining(setup):
     """Split-sequence forward with carried state == one-shot forward."""
     cfg, params = setup
-    tokens = jax.random.randint(jax.random.PRNGKey(3), (2, 12), 0, 512)
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (B0, T0), 0, 256)
     full, _ = m.rwkv4_forward_tokens(params, cfg, tokens)
-    a, st = m.rwkv4_forward_tokens(params, cfg, tokens[:, :5])
-    b, _ = m.rwkv4_forward_tokens(params, cfg, tokens[:, 5:], states=st)
+    a, st = m.rwkv4_forward_tokens(params, cfg, tokens[:, :6])
+    b, _ = m.rwkv4_forward_tokens(params, cfg, tokens[:, 6:], states=st)
     assert rel_err(jnp.concatenate([a, b], axis=1), full) < 1e-5
 
 
@@ -71,7 +77,7 @@ def test_converter_round_trip(setup):
     cfg, params = setup
     sd = export_rwkv_state_dict(params)
     back = import_rwkv_state_dict(sd)
-    tokens = jax.random.randint(jax.random.PRNGKey(4), (1, 6), 0, 512)
+    tokens = jax.random.randint(jax.random.PRNGKey(4), (B0, T0), 0, 256)
     l1, _ = m.rwkv4_forward_tokens(params, cfg, tokens)
     l2, _ = m.rwkv4_forward_tokens(back, cfg, tokens)
     assert rel_err(l2, l1) < 1e-6
@@ -96,8 +102,11 @@ def test_torch_oracle_parity(setup):
     cfg, params = setup
     sd = {k: torch.tensor(v) for k, v in export_rwkv_state_dict(params).items()}
     C = cfg.n_embd
-    T = 12
-    tokens = np.asarray(jax.random.randint(jax.random.PRNGKey(5), (1, T), 0, 512))
+    T = T0
+    # duplicate row 0 so the jax forward reuses the module's (B0, T0) compile
+    tokens = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(5), (1, T), 0, 256)
+    ).repeat(B0, axis=0)
 
     with torch.no_grad():
         x = sd["emb.weight"][torch.tensor(tokens[0])]  # [T, C]
@@ -165,7 +174,7 @@ def test_adapter_v4_pairs_with_x040(setup):
     ap = init_adapter_params(jax.random.PRNGKey(7), cfg, acfg)
     B, T, L = 2, 6, 5
     feats = jax.random.normal(jax.random.PRNGKey(8), (B, L, cfg.n_embd))
-    ids = jax.random.randint(jax.random.PRNGKey(9), (B, T), 1, 512)
+    ids = jax.random.randint(jax.random.PRNGKey(9), (B, T), 1, 256)
     mask = jnp.ones((B, T), bool)
     # one value_and_grad trace covers both the loss values and gradient flow
     # (tracing the frozen x040 scan twice doubled this test's compile time)
