@@ -451,11 +451,14 @@ def main():
         "train_tok_per_s_0B4_x060", "BENCH_TRAIN_X060",
         lambda: measure_train_step_0b4(x=8, version="x060", stacked=False),
     )
-    # 1B5 training on ONE chip via the master-less bf16_sr optimizer
+    # 1B5 training on ONE chip via the master-less bf16_sr optimizer.
+    # List layout: the stacked tree's whole-depth [23, ...] gradient leaves
+    # push compile-time HBM to 16.59G/15.75G at this scale (64.5% HLO-temp
+    # fragmentation), while the per-layer list leaves free early and fit.
     leg(
         "train_tok_per_s_1B5_bf16sr", "BENCH_TRAIN_1B5",
         lambda: measure_train_step_0b4(
-            x=8, n_embd=2048, optim_precision="bf16_sr"
+            x=8, n_embd=2048, optim_precision="bf16_sr", stacked=False
         ),
     )
     # 7B x060 int8 serving (BASELINE configs[3]); biggest HBM leg, runs last

@@ -570,6 +570,42 @@ def test_bf16_sr_training_tracks_fp32():
     assert abs(sr[-1] - final["master_fp32"][-1]) < 0.25, final
 
 
+def test_split_step_matches_fused():
+    """split_step=True (grad program + optimizer program, two dispatches)
+    must track the fused one-jit step: same math, different compilation
+    boundary (the 1B5 bf16_sr near-HBM-edge escape hatch). The bf16_sr
+    branch is covered because its SR key is deterministic in `step`."""
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_vlm_cfg(), vision=VisionConfig(towers=()))
+    params = init_visualrwkv_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 300, (4, 32)).astype(np.int32)
+    batch = {"input_ids": ids, "labels": ids.copy(), "images": None}
+    mesh = make_mesh(n_data=1)
+
+    final = {}
+    for split in (False, True):
+        tcfg = TrainConfig(
+            lr_init=1e-2, lr_final=1e-2, epoch_steps=2, epoch_count=1,
+            micro_bsz=2, accumulate_grad_batches=2, grad_cp=True,
+            zero_stage=0, grad_clip=1.0, param_dtype="bfloat16",
+            optim_precision="bf16_sr", split_step=split,
+        )
+        tr = Trainer(cfg, tcfg, jax.tree_util.tree_map(jnp.copy, params),
+                     mesh=mesh)
+        assert tr.split_step_enabled == split
+        tr.run_epoch(lambda s: batch, epoch=0)
+        final[split] = tr.state.params
+
+    for a, b in zip(jax.tree_util.tree_leaves(final[False]),
+                    jax.tree_util.tree_leaves(final[True])):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=2e-2, atol=2e-4,
+        )
+
+
 @pytest.mark.slow
 def test_zero3_param_sharded_step_matches_zero1():
     """zero_stage=3 (params FSDP-sharded over `data`) must produce the same

@@ -175,4 +175,14 @@ class TrainConfig:
     # canonical list-of-blocks layout. Ignored when incompatible options are
     # set (partial layer freeze, tensor parallelism, bidirectional image).
     stacked_layers: bool = False
+    # split the train step into TWO dispatches (grad program, then optimizer
+    # program) instead of one fused jit. Near the single-chip HBM edge the
+    # fused program's buffer assignment must co-schedule the whole backward
+    # with the whole optimizer update; measured at 1B5 bf16_sr this produced
+    # a ~25x runtime pathology (XLA serializes/spills under pressure) while
+    # the same math as two programs runs at full speed — each program's peak
+    # stays well under the edge and per-leaf temps free eagerly. None (auto):
+    # split when (2*params + opt_state) bytes exceed 60% of one chip's HBM on
+    # a single-device TPU mesh. The extra dispatch costs one RTT (~30 ms).
+    split_step: Optional[bool] = None
     wandb_project: str = ""

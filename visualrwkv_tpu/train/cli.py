@@ -104,6 +104,14 @@ def build_argparser() -> argparse.ArgumentParser:
         help="stack blocks 1..L-1 so the layer loop is one lax.scan body "
         "(O(1)-in-depth compile time; x070, no partial freeze/TP)",
     )
+    p.add_argument(
+        "--split_step", default=-1, type=int,
+        help="-1 auto / 0 fused / 1 split: compile the train step as two "
+        "programs (grad, then optimizer) instead of one jit. Near the "
+        "single-chip HBM edge the fused program collapses ~25x (XLA "
+        "spills/serializes under pressure); auto splits when params+grads+"
+        "optimizer state exceed 60%% of one chip's HBM",
+    )
     return p
 
 
@@ -137,6 +145,7 @@ def make_configs(args):
         zero_stage=args.zero_stage, param_dtype=args.param_dtype,
         optim_precision=args.optim_precision,
         stacked_layers=bool(args.stacked_layers),
+        split_step=None if args.split_step < 0 else bool(args.split_step),
     )
     return vlm_cfg, tcfg
 

@@ -56,21 +56,10 @@ def create_train_state(
     return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32)), opt
 
 
-def make_train_step(
-    cfg: TrainConfig, vlm_cfg: VLMConfig, opt: optax.GradientTransformation, mesh,
-    opt_host_shardings=None, opt_device_shardings=None,
-) -> Callable:
-    """Builds the jitted train step.
-
-    batch: dict with 'input_ids' [A*B, T], 'labels' [A*B, T] and optional
-    'images' (per-tower [A*N_img, H, W, 3]); A = accumulate_grad_batches.
-
-    With host-offloaded optimizer state (opt_*_shardings given), the step
-    streams the moments device->update->host via in-jit device_put
-    annotations (the DeepSpeedCPUAdam analog: HBM holds params+grads only).
-    """
-
-    accum = max(1, cfg.accumulate_grad_batches)
+def _make_loss_fn(cfg: TrainConfig, vlm_cfg: VLMConfig, mesh) -> Callable:
+    """Micro-batch loss closure shared by the fused and split train steps:
+    dispatches between the scatter/leftpad insertion modes and the
+    sequence-parallel shard_map path."""
     leftpad = getattr(vlm_cfg, "insertion_mode", "scatter") == "leftpad"
     seq_par = mesh is not None and mesh.shape.get("seq", 1) > 1
     if seq_par:
@@ -126,6 +115,42 @@ def make_train_step(
             grad_cp=cfg.grad_cp,
         )
 
+    return loss_fn
+
+
+def _apply_optimizer(cfg, opt, state_params, opt_state, step, grads):
+    """Optimizer update + parameter application shared by the fused and
+    split train steps (bf16_sr stochastic rounding keyed on `step`)."""
+    updates, new_opt_state = opt.update(grads, opt_state, state_params)
+    if cfg.optim_precision == "bf16_sr":
+        # master-less bf16: apply the fp32 updates with stochastic
+        # rounding (per-step key, deterministic in `step` for resume)
+        from visualrwkv_tpu.train.optim import apply_updates_sr
+
+        key = jax.random.fold_in(jax.random.PRNGKey(0x5A), step)
+        new_params = apply_updates_sr(state_params, updates, key)
+    else:
+        new_params = optax.apply_updates(state_params, updates)
+    return new_params, new_opt_state
+
+
+def make_train_step(
+    cfg: TrainConfig, vlm_cfg: VLMConfig, opt: optax.GradientTransformation, mesh,
+    opt_host_shardings=None, opt_device_shardings=None,
+) -> Callable:
+    """Builds the jitted train step.
+
+    batch: dict with 'input_ids' [A*B, T], 'labels' [A*B, T] and optional
+    'images' (per-tower [A*N_img, H, W, 3]); A = accumulate_grad_batches.
+
+    With host-offloaded optimizer state (opt_*_shardings given), the step
+    streams the moments device->update->host via in-jit device_put
+    annotations (the DeepSpeedCPUAdam analog: HBM holds params+grads only).
+    """
+
+    accum = max(1, cfg.accumulate_grad_batches)
+    loss_fn = _make_loss_fn(cfg, vlm_cfg, mesh)
+
     def step_fn(state_params, opt_state, step, batch, plan=None):
         # clipping stays inside the optimizer chain (clip_by_global_norm_f32)
         import functools
@@ -142,24 +167,69 @@ def make_train_step(
                 lambda x, s: jax.device_put(x, s) if hasattr(x, "shape") else x,
                 opt_state, opt_device_shardings,
             )
-        updates, new_opt_state = opt.update(grads, opt_state, state_params)
+        new_params, new_opt_state = _apply_optimizer(
+            cfg, opt, state_params, opt_state, step, grads
+        )
         if opt_host_shardings is not None:
             new_opt_state = jax.tree_util.tree_map(
                 lambda x, s: jax.device_put(x, s) if hasattr(x, "shape") else x,
                 new_opt_state, opt_host_shardings,
             )
-        if cfg.optim_precision == "bf16_sr":
-            # master-less bf16: apply the fp32 updates with stochastic
-            # rounding (per-step key, deterministic in `step` for resume)
-            from visualrwkv_tpu.train.optim import apply_updates_sr
-
-            key = jax.random.fold_in(jax.random.PRNGKey(0x5A), step)
-            new_params = apply_updates_sr(state_params, updates, key)
-        else:
-            new_params = optax.apply_updates(state_params, updates)
         return new_params, new_opt_state, step + 1, loss
 
     return jax.jit(step_fn, donate_argnums=(0, 1), static_argnames=("plan",))
+
+
+def make_split_train_step(
+    cfg: TrainConfig, vlm_cfg: VLMConfig, opt: optax.GradientTransformation, mesh,
+) -> Callable:
+    """Two-dispatch train step: a grad program, then an optimizer program.
+
+    Same math as :func:`make_train_step`, different compilation boundary.
+    Near the single-chip HBM edge (e.g. 1B5 bf16_sr: params+moments+grads
+    ~12.4 GB of a 15.75 GB chip) the FUSED step forces XLA to buffer-assign
+    the whole backward and the whole optimizer update as one program; the
+    measured result was a ~25x runtime collapse (75 s/step, compute-
+    independent — the scheduler serializes/spills under pressure). Split,
+    each program's own peak is far from the edge — the grad program never
+    sees optimizer transients and the optimizer program frees per-leaf fp32
+    temps eagerly — and the same step runs at full speed. Costs one extra
+    dispatch (~30 ms RTT on the remote-TPU tunnel, amortized to noise) and
+    keeps the gradients' HBM alive between the two dispatches (they would be
+    alive inside the fused program anyway).
+    """
+    import functools
+
+    from visualrwkv_tpu.train.optim import value_and_clipped_grads
+
+    accum = max(1, cfg.accumulate_grad_batches)
+    loss_fn = _make_loss_fn(cfg, vlm_cfg, mesh)
+
+    @functools.partial(jax.jit, static_argnames=("plan",))
+    def grad_fn(state_params, batch, plan=None):
+        # clipping stays inside the optimizer chain (clip_by_global_norm_f32)
+        return value_and_clipped_grads(
+            functools.partial(loss_fn, plan=plan), state_params, batch, accum,
+            grad_clip=0.0,
+        )
+
+    # donate opt_state + grads only: XLA aliases grads->new_params and
+    # opt_state->new_opt_state; donating params too just trips the "donated
+    # buffers were not usable" warning (there are more donatable inputs than
+    # outputs — the params buffers are the leftovers either way)
+    @functools.partial(jax.jit, donate_argnums=(1, 2))
+    def opt_fn(state_params, opt_state, grads, step):
+        new_params, new_opt_state = _apply_optimizer(
+            cfg, opt, state_params, opt_state, step, grads
+        )
+        return new_params, new_opt_state, step + 1
+
+    def train_step(state_params, opt_state, step, batch, plan=None):
+        loss, grads = grad_fn(state_params, batch, plan=plan)
+        new_params, new_opt_state, step = opt_fn(state_params, opt_state, grads, step)
+        return new_params, new_opt_state, step, loss
+
+    return train_step
 
 
 class Trainer:
@@ -297,10 +367,43 @@ class Trainer:
         self.state = TrainState(
             params=self.params, opt_state=opt_state, step=jnp.zeros((), jnp.int32)
         )
-        self.train_step = make_train_step(
-            train_cfg, vlm_cfg, self.opt, self.mesh,
-            opt_host_shardings=opt_host, opt_device_shardings=opt_dev,
-        )
+        split = train_cfg.split_step
+        if split and opt_host is not None:
+            raise NotImplementedError(
+                "split_step=True + offload_optimizer is not wired (the "
+                "streamed offload path is already a multi-dispatch step)"
+            )
+        if split is None:
+            # auto: split when the fused program's persistent working set
+            # (params + grads + optimizer state) crowds one chip's HBM —
+            # measured 25x pathology at 1B5 bf16_sr (see make_split_train_step)
+            split = False
+            if (
+                opt_host is None
+                and not self._multi_device
+                and jax.default_backend() == "tpu"
+            ):
+                pb = sum(
+                    getattr(l, "nbytes", 0)
+                    for l in jax.tree_util.tree_leaves(self.params)
+                )
+                ob = sum(
+                    getattr(l, "nbytes", 0)
+                    for l in jax.tree_util.tree_leaves(opt_state)
+                )
+                stats = jax.local_devices()[0].memory_stats() or {}
+                limit = stats.get("bytes_limit", 16 * 1024**3)
+                split = (2 * pb + ob) > 0.6 * limit
+        self.split_step_enabled = bool(split)
+        if self.split_step_enabled:
+            self.train_step = make_split_train_step(
+                train_cfg, vlm_cfg, self.opt, self.mesh
+            )
+        else:
+            self.train_step = make_train_step(
+                train_cfg, vlm_cfg, self.opt, self.mesh,
+                opt_host_shardings=opt_host, opt_device_shardings=opt_dev,
+            )
         self.history: list = []
         from visualrwkv_tpu.utils.observability import ThroughputMeter, TrainLogWriter
 
