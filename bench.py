@@ -403,13 +403,18 @@ def measure_train_step_0b4(x: int = 16, rounds: int = 2, n_layer: int = 24,
     batch = {"input_ids": ids, "labels": labels, "images": None}
 
     p_, o_, s_ = tr.state.params, tr.state.opt_state, tr.state.step
-    p_, o_, s_, loss = tr.train_step(p_, o_, s_, batch)
+    step_fn = tr.train_step
+    # drop the Trainer's references to the initial params/opt tree: at 1B5
+    # they would pin ~3 GB of stale bf16 params across the whole loop (the
+    # opt program's own peak is 15.06/15.75 GB — no room for leaks)
+    tr.state = None
+    p_, o_, s_, loss = step_fn(p_, o_, s_, batch)
     float(loss)
     best = 0.0
     for _ in range(rounds):
         t0 = time.time()
         for _ in range(x):
-            p_, o_, s_, loss = tr.train_step(p_, o_, s_, batch)
+            p_, o_, s_, loss = step_fn(p_, o_, s_, batch)
         float(loss)  # one scalar fetch syncs the whole chain
         best = max(best, eff * T * x / (time.time() - t0))
     return round(best, 1)

@@ -348,6 +348,200 @@ def stacked_layer_freeze(freeze_first: int) -> "optax.GradientTransformation":
     return optax.GradientTransformation(init, update)
 
 
+class PartitionedOptimizer:
+    """The whole-tree optimizer chain re-cut into barrier-sequenced leaf groups.
+
+    Same math as :func:`make_optimizer` + the train step's parameter
+    application, different HBM profile.  At the single-chip edge (1B5 bf16_sr:
+    bf16 params 3.1 GB + bf16 grads 3.1 GB + bf16 moments 6.2 GB resident) the
+    fused whole-tree ``opt.update`` lets XLA schedule the ~700 independent
+    per-leaf elementwise chains concurrently; each chain materializes fp32
+    temps (mu32/nu32/update ≈ 6x the leaf's bf16 bytes), so the program's peak
+    overshoots the chip (measured: 16.59G / 15.75G, 64.5% HLO-temp
+    fragmentation).  Here the tree is greedily packed into ~128 MB leaf groups
+    in flatten order (≈ per-block at 1B5); each group gets its own masked
+    optax instance (out-of-group leaves are ``optax.MaskedNode`` — zero state
+    bytes), and groups are chained through ``lax.optimization_barrier`` so a
+    group's fp32 temps are dead before the next group starts: peak temp is
+    O(one group), not O(tree).
+
+    Cross-group couplings are factored out exactly:
+
+    - **global-norm clip** runs once up front over all trainable leaves
+      (fp32 accumulation, stacked frozen rows zeroed — bit-identical inputs
+      to the fused chain's ``clip_by_global_norm_f32``, including the
+      cast-back to the gradient dtype and the non-finite step skip);
+    - **schedules** (``inject_hyperparams`` count, Adam count) tick
+      identically in every group;
+    - **stochastic rounding** splits the per-step key over the FULL params
+      flatten order, so each leaf sees the same bits as the fused
+      ``apply_updates_sr``.
+
+    The optimizer state is a tuple of per-group states; checkpoints resume
+    only under the same layout (the partitioning is deterministic in
+    (params, cfg)), which matches the split-step trainer's scope: the same
+    run that saved it.  DeepSpeed analog: ZeRO's round-robin per-group
+    optimizer step (reference ``v7.00/src/trainer.py:8-9``), done here on one
+    chip across time instead of across ranks.
+    """
+
+    def __init__(self, cfg: TrainConfig, params: Params, total_steps: int,
+                 n_layer: int, max_partition_bytes: int = 128 * 1024 * 1024):
+        import dataclasses
+
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        self._treedef = treedef
+        mask = trainable_mask(params, cfg, n_layer)
+        mask_leaves = treedef.flatten_up_to(mask)
+        self._train_idx = [i for i, t in enumerate(mask_leaves) if bool(t)]
+
+        # stacked-row freeze participates in the clip norm exactly as the
+        # in-chain stacked_layer_freeze would (guard before clip)
+        paths = [p for p, _ in jax.tree_util.tree_flatten_with_path(params)[0]]
+        is_stacked_tree = (
+            isinstance(params.get("rwkv"), dict)
+            and "blocks_stacked" in params["rwkv"]
+        )
+        self._guard_first = (
+            cfg.freeze_rwkv_layers
+            if is_stacked_tree and 0 < cfg.freeze_rwkv_layers < n_layer
+            else 0
+        )
+        self._stacked_ids = {
+            i
+            for i, path in enumerate(paths)
+            if any(getattr(q, "key", None) == "blocks_stacked" for q in path)
+        }
+
+        # greedy pack trainable leaves (flatten order ~ layer order) into
+        # byte-bounded groups; a single oversized leaf (emb/head) gets its own
+        total = sum(int(getattr(leaves[i], "nbytes", 0)) for i in self._train_idx)
+        target = min(max_partition_bytes, max(total // 8, 1))
+        self.parts_idx: list = []
+        cur, cur_b = [], 0
+        for i in self._train_idx:
+            nb = int(getattr(leaves[i], "nbytes", 0))
+            if cur and cur_b + nb > target:
+                self.parts_idx.append(cur)
+                cur, cur_b = [], 0
+            cur.append(i)
+            cur_b += nb
+        if cur:
+            self.parts_idx.append(cur)
+
+        self.grad_clip = float(cfg.grad_clip)
+        self.sr = cfg.optim_precision == "bf16_sr"
+        cfg_noclip = dataclasses.replace(cfg, grad_clip=0.0)
+        self.opts = []
+        for idxs in self.parts_idx:
+            sel = set(idxs)
+            flags = [i in sel for i in range(len(leaves))]
+            pmask = jax.tree_util.tree_unflatten(treedef, flags)
+            self.opts.append(
+                make_optimizer(cfg_noclip, params, total_steps, n_layer,
+                               extra_trainable_mask=pmask)
+            )
+
+    def init(self, params: Params):
+        return tuple(o.init(params) for o in self.opts)
+
+    def _row_mask(self, g32):
+        L1 = g32.shape[0]
+        ids = jnp.arange(1, L1 + 1)
+        m = (ids >= self._guard_first).astype(g32.dtype)
+        return g32 * m.reshape((L1,) + (1,) * (g32.ndim - 1))
+
+    def update_and_apply(self, grads, states, params, step):
+        """One optimizer step: clip + per-group (update, apply), sequenced.
+
+        Returns ``(new_params, new_states)``; bit-matches the fused
+        ``_apply_optimizer`` path (see class docstring for the factoring).
+        """
+        leaves_p, treedef = jax.tree_util.tree_flatten(params)
+        leaves_g = treedef.flatten_up_to(grads)
+        f32 = jnp.float32
+
+        scale = None
+        if self.grad_clip > 0:
+            sq = jnp.zeros((), f32)
+            for i in self._train_idx:
+                g32 = leaves_g[i].astype(f32)
+                if self._guard_first and i in self._stacked_ids:
+                    g32 = self._row_mask(g32)
+                sq = sq + jnp.sum(jnp.square(g32))
+            gnorm = jnp.sqrt(sq)
+            scale = jnp.minimum(1.0, self.grad_clip / jnp.maximum(gnorm, 1e-12))
+            finite = jnp.isfinite(gnorm)
+
+        keys = None
+        if self.sr:
+            key = jax.random.fold_in(jax.random.PRNGKey(0x5A), step)
+            keys = jax.random.split(key, max(len(leaves_p), 1))
+
+        def apply_one(i, u):
+            p = leaves_p[i]
+            if (
+                self.sr
+                and hasattr(p, "dtype")
+                and p.dtype == jnp.bfloat16
+                and jnp.asarray(u).dtype == f32
+            ):
+                return sr_round_bf16(keys[i], p.astype(f32) + u)
+            # optax.apply_updates semantics: promote-add, cast back
+            return jnp.asarray(p + u).astype(jnp.asarray(p).dtype)
+
+        new_leaves = list(leaves_p)
+        new_states: list = [None] * len(self.opts)
+        pending = None  # (pid, idxs) whose values ride the next barrier
+        pend_vals = None  # (out_leaves, new_state) of the pending group
+
+        def flush(pend, vals):
+            pid, idxs = pend
+            out_leaves, st = vals
+            for j, i in enumerate(idxs):
+                new_leaves[i] = out_leaves[j]
+            new_states[pid] = st
+
+        for pid, idxs in enumerate(self.parts_idx):
+            gsub = [leaves_g[i] for i in idxs]
+            if pending is not None:
+                # sequence point: this group's inputs become available only
+                # once the previous group's outputs are computed, so XLA
+                # cannot overlap (and co-allocate) the two groups' fp32 temps
+                gsub, pend_vals = jax.lax.optimization_barrier(
+                    (gsub, pend_vals)
+                )
+                flush(pending, pend_vals)
+            if scale is not None:
+                gsub = [
+                    jnp.where(finite, g.astype(f32) * scale, 0.0).astype(g.dtype)
+                    for g in gsub
+                ]
+            gl = list(leaves_g)
+            for j, i in enumerate(idxs):
+                gl[i] = gsub[j]
+            gtree = jax.tree_util.tree_unflatten(treedef, gl)
+            upd, new_st = self.opts[pid].update(gtree, states[pid], params)
+            upd_leaves = treedef.flatten_up_to(upd)
+            out_leaves = [apply_one(i, upd_leaves[i]) for i in idxs]
+            pending, pend_vals = (pid, idxs), (out_leaves, new_st)
+        if pending is not None:
+            flush(pending, pend_vals)
+
+        new_params = jax.tree_util.tree_unflatten(treedef, new_leaves)
+        return new_params, tuple(new_states)
+
+
+def make_partitioned_optimizer(
+    cfg: TrainConfig, params: Params, total_steps: int, n_layer: int,
+    max_partition_bytes: int = 128 * 1024 * 1024,
+) -> PartitionedOptimizer:
+    """Build the barrier-sequenced split-step optimizer (see
+    :class:`PartitionedOptimizer`)."""
+    return PartitionedOptimizer(cfg, params, total_steps, n_layer,
+                                max_partition_bytes)
+
+
 def make_optimizer(
     cfg: TrainConfig,
     params: Params,

@@ -217,11 +217,21 @@ def make_split_train_step(
     # opt_state->new_opt_state; donating params too just trips the "donated
     # buffers were not usable" warning (there are more donatable inputs than
     # outputs — the params buffers are the leftovers either way)
+    from visualrwkv_tpu.train.optim import PartitionedOptimizer
+
     @functools.partial(jax.jit, donate_argnums=(1, 2))
     def opt_fn(state_params, opt_state, grads, step):
-        new_params, new_opt_state = _apply_optimizer(
-            cfg, opt, state_params, opt_state, step, grads
-        )
+        if isinstance(opt, PartitionedOptimizer):
+            # barrier-sequenced leaf groups: clip + adam + apply per ~128 MB
+            # group so fp32 temps peak at O(group), not O(tree) — the fused
+            # whole-tree update OOMs at 1B5 bf16_sr (see PartitionedOptimizer)
+            new_params, new_opt_state = opt.update_and_apply(
+                grads, opt_state, state_params, step
+            )
+        else:
+            new_params, new_opt_state = _apply_optimizer(
+                cfg, opt, state_params, opt_state, step, grads
+            )
         return new_params, new_opt_state, step + 1
 
     def train_step(state_params, opt_state, step, batch, plan=None):
@@ -345,15 +355,57 @@ class Trainer:
             return
 
         self.opt = make_optimizer(train_cfg, self.params, total_steps, vlm_cfg.rwkv.n_layer)
+        opt_shape = jax.eval_shape(self.opt.init, self.params)
+        wants_host_offload = (
+            train_cfg.offload_optimizer and jax.default_backend() == "tpu"
+        )
+        split = train_cfg.split_step
+        if split and wants_host_offload:
+            raise NotImplementedError(
+                "split_step=True + offload_optimizer is not wired (the "
+                "streamed offload path is already a multi-dispatch step)"
+            )
+        if split is None:
+            # auto: split when the fused program's persistent working set
+            # (params + grads + optimizer state) crowds one chip's HBM —
+            # measured 25x pathology at 1B5 bf16_sr (see make_split_train_step)
+            split = False
+            if (
+                not wants_host_offload
+                and not self._multi_device
+                and jax.default_backend() == "tpu"
+            ):
+                pb = sum(
+                    getattr(l, "nbytes", 0)
+                    for l in jax.tree_util.tree_leaves(self.params)
+                )
+                ob = sum(
+                    int(np.prod(l.shape)) * jnp.dtype(l.dtype).itemsize
+                    for l in jax.tree_util.tree_leaves(opt_shape)
+                    if hasattr(l, "shape")
+                )
+                stats = jax.local_devices()[0].memory_stats() or {}
+                limit = stats.get("bytes_limit", 16 * 1024**3)
+                split = (2 * pb + ob) > 0.6 * limit
+        self.split_step_enabled = bool(split)
+        if self.split_step_enabled:
+            # barrier-sequenced leaf-group optimizer: the split opt program's
+            # whole-tree fp32 temps themselves OOM at 1B5 (PartitionedOptimizer)
+            from visualrwkv_tpu.train.optim import make_partitioned_optimizer
+
+            self.opt = make_partitioned_optimizer(
+                train_cfg, self.params, total_steps, vlm_cfg.rwkv.n_layer
+            )
+            opt_shape = jax.eval_shape(self.opt.init, self.params)
+
         opt_host = opt_dev = None
         if train_cfg.zero_stage >= 1 or train_cfg.offload_optimizer:
             # initialize the optimizer state DIRECTLY into its target
             # shardings (jit out_shardings on the eval_shape'd structure):
             # materializing 12-18 GB of fp32 masters+moments in HBM first and
             # moving them after is itself an OOM at 1B5+ on one chip
-            opt_shape = jax.eval_shape(self.opt.init, self.params)
             o_shard = zero_sharding(opt_shape, self.mesh)
-            if train_cfg.offload_optimizer and jax.default_backend() == "tpu":
+            if wants_host_offload:
                 # DeepSpeedCPUAdam analog: optimizer moments live in pinned
                 # host memory; the train step streams them through HBM
                 opt_dev = o_shard
@@ -367,34 +419,6 @@ class Trainer:
         self.state = TrainState(
             params=self.params, opt_state=opt_state, step=jnp.zeros((), jnp.int32)
         )
-        split = train_cfg.split_step
-        if split and opt_host is not None:
-            raise NotImplementedError(
-                "split_step=True + offload_optimizer is not wired (the "
-                "streamed offload path is already a multi-dispatch step)"
-            )
-        if split is None:
-            # auto: split when the fused program's persistent working set
-            # (params + grads + optimizer state) crowds one chip's HBM —
-            # measured 25x pathology at 1B5 bf16_sr (see make_split_train_step)
-            split = False
-            if (
-                opt_host is None
-                and not self._multi_device
-                and jax.default_backend() == "tpu"
-            ):
-                pb = sum(
-                    getattr(l, "nbytes", 0)
-                    for l in jax.tree_util.tree_leaves(self.params)
-                )
-                ob = sum(
-                    getattr(l, "nbytes", 0)
-                    for l in jax.tree_util.tree_leaves(opt_state)
-                )
-                stats = jax.local_devices()[0].memory_stats() or {}
-                limit = stats.get("bytes_limit", 16 * 1024**3)
-                split = (2 * pb + ob) > 0.6 * limit
-        self.split_step_enabled = bool(split)
         if self.split_step_enabled:
             self.train_step = make_split_train_step(
                 train_cfg, vlm_cfg, self.opt, self.mesh
