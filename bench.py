@@ -431,12 +431,32 @@ def main():
     # optional legs run in increasing-memory order, each gated by an env var
     # AND a global soft budget so a degraded tunnel cannot eat the driver's
     # whole window; every failure/skip is recorded machine-readably.
+    def _scrub(tag):
+        # free prior legs' HBM residue: compiled executables pin their device
+        # constants and the pjit caches outlive the legs' Python frames —
+        # measured: the 1B5 train leg (15.06/15.75 GB peak standalone) OOMs
+        # in-process after the decode/vision/train legs unless caches drop.
+        # Record what is still alive machine-readably for OOM forensics.
+        import gc
+
+        gc.collect()
+        jax.clear_caches()
+        gc.collect()
+        try:
+            live = [x for x in jax.live_arrays()]
+            gb = sum(getattr(x, "nbytes", 0) for x in live) / 2**30
+            if gb > 0.5:
+                extra[f"{tag}_hbm_live_gb"] = round(gb, 2)
+        except Exception:
+            pass
+
     def leg(name, env, fn):
         if os.environ.get(env, "1") != "1":
             return
         if time.time() - t_start > budget_s:
             extra[f"{name}_skipped"] = "budget"
             return
+        _scrub(name)
         try:
             out = fn()
             if isinstance(out, dict):
