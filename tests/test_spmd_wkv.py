@@ -220,6 +220,34 @@ def test_rwkv7_forward_seq_matches_full(grad_cp):
     assert rel_err(logits, logits_ref) < 1e-5
 
 
+def test_rwkv6_forward_seq_matches_full():
+    """x060 model-level context parallelism: logits of the seq-sharded
+    forward (token-shift halos + WKV6 ring via the wkv_seq_axis dispatch in
+    ops.wkv6.wkv6) match the single-device forward."""
+    from jax.sharding import PartitionSpec as P
+
+    from visualrwkv_tpu.config import RWKVConfig
+    from visualrwkv_tpu.models import rwkv6
+
+    cfg = RWKVConfig(version="x060", n_layer=2, n_embd=64, vocab_size=512,
+                     head_size=16, compute_dtype="float32", ctx_len=64,
+                     chunk_len=16)
+    params = rwkv6.init_rwkv6_params(jax.random.PRNGKey(0), cfg)
+    mesh = _seq_mesh(4)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 64), 0, 500)
+    x = rwkv6.embed(params, tokens)
+
+    logits_ref, _ = rwkv6.rwkv6_forward(params, cfg, x)
+
+    f = jax.jit(jax.shard_map(
+        lambda p, xx: rwkv6.rwkv6_forward_seq(p, cfg, xx),
+        mesh=mesh, in_specs=(P(), P(None, "seq", None)),
+        out_specs=P(None, "seq", None),
+    ))
+    logits = f(params, x)
+    assert rel_err(logits, logits_ref) < 1e-5
+
+
 @pytest.mark.slow
 def test_rwkv7_forward_seq_gradients_match():
     """Loss gradients through the context-parallel forward (CE psum'd over

@@ -462,6 +462,125 @@ def test_trainer_seq_parallel_matches_single_device():
         np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-5)
 
 
+def test_training_loss_seq_images_matches_dense():
+    """SP + images: embeddings (vision encode + projector + scatter) computed
+    OUTSIDE the shard_map, backbone run seq-sharded inside — the loss must
+    match the single-device dense path."""
+    import dataclasses
+
+    from jax.sharding import PartitionSpec as P
+
+    from visualrwkv_tpu.models.visualrwkv import (
+        prepare_embeddings,
+        training_loss,
+        training_loss_seq,
+    )
+
+    cfg = tiny_vlm_cfg()
+    cfg = cfg.replace(rwkv=dataclasses.replace(cfg.rwkv, ctx_len=64, chunk_len=16))
+    params = init_visualrwkv_params(jax.random.PRNGKey(0), cfg)
+    batch = make_batch(jax.random.PRNGKey(1), bsz=2, T=64)
+    ids, labels = jnp.asarray(batch["input_ids"]), np.asarray(batch["labels"])
+    images = {k: jnp.asarray(v) for k, v in batch["images"].items()}
+
+    dense = training_loss(params, cfg, ids, jnp.asarray(labels), images,
+                          grad_cp=False, chunked_ce=False)
+
+    lbl_next = np.concatenate(
+        [labels[:, 1:], np.full((labels.shape[0], 1), IGNORE_INDEX, labels.dtype)],
+        axis=1,
+    )
+    mesh = make_mesh(n_data=2, n_seq=4)
+    f = jax.jit(jax.shard_map(
+        lambda p, e, l: training_loss_seq(
+            p, cfg, None, l, grad_cp=False, embeds=e
+        ),
+        mesh=mesh,
+        in_specs=(P(), P("data", "seq", None), P("data", "seq")),
+        out_specs=P(),
+    ))
+    emb = prepare_embeddings(params, cfg, ids, images)
+    loss_sp = f(params, emb, jnp.asarray(lbl_next))
+    np.testing.assert_allclose(float(loss_sp), float(dense), rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_trainer_seq_parallel_images_matches_single_device():
+    """Context-parallel training on an IMAGE batch (scatter insertion): the
+    dp2xsp4 Trainer matches the single-device run — losses and params."""
+    import dataclasses
+
+    cfg = tiny_vlm_cfg()
+    cfg = cfg.replace(rwkv=dataclasses.replace(cfg.rwkv, ctx_len=64, chunk_len=16))
+    params = init_visualrwkv_params(jax.random.PRNGKey(0), cfg)
+    batch = make_batch(jax.random.PRNGKey(1), bsz=4, T=64)
+
+    out = {}
+    for tag, mesh in (
+        ("single", make_mesh(n_data=1)),
+        ("dp2xsp4", make_mesh(n_data=2, n_seq=4)),
+    ):
+        tcfg = TrainConfig(
+            lr_init=1e-2, lr_final=1e-2, epoch_steps=3, epoch_count=1,
+            micro_bsz=4, grad_cp=True, zero_stage=0, grad_clip=1.0,
+            stacked_layers=False,
+        )
+        tr = Trainer(cfg, tcfg, jax.tree_util.tree_map(jnp.copy, params), mesh=mesh)
+        tr.run_epoch(lambda s: batch, epoch=0)
+        out[tag] = (
+            [h["loss"] for h in tr.history],
+            jax.tree_util.tree_map(np.asarray, tr.state.params["rwkv"]),
+        )
+
+    l_s, p_s = out["single"]
+    l_m, p_m = out["dp2xsp4"]
+    np.testing.assert_allclose(l_m, l_s, rtol=2e-4, atol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p_m), jax.tree_util.tree_leaves(p_s)):
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-5)
+
+
+@pytest.mark.slow
+def test_trainer_seq_parallel_x060_matches_single_device():
+    """Context-parallel training with the x060 backbone (rwkv6_forward_seq):
+    dp2xsp4 matches single-device on a text batch."""
+    import dataclasses
+
+    cfg = tiny_vlm_cfg()
+    cfg = cfg.replace(rwkv=dataclasses.replace(
+        cfg.rwkv, version="x060", ctx_len=64, chunk_len=16))
+    params = init_visualrwkv_params(jax.random.PRNGKey(0), cfg)
+    ids = np.array(jax.random.randint(jax.random.PRNGKey(1), (4, 64), 1, 300))
+    labels = ids.copy()
+    labels[:, :8] = IGNORE_INDEX
+    batch = {"input_ids": ids, "labels": labels}
+
+    out = {}
+    for tag, mesh in (
+        ("single", make_mesh(n_data=1)),
+        ("dp2xsp4", make_mesh(n_data=2, n_seq=4)),
+    ):
+        tcfg = TrainConfig(
+            lr_init=1e-2, lr_final=1e-2, epoch_steps=3, epoch_count=1,
+            micro_bsz=4, grad_cp=True, zero_stage=0, grad_clip=1.0,
+            stacked_layers=False,
+        )
+        tr = Trainer(cfg, tcfg, jax.tree_util.tree_map(jnp.copy, params), mesh=mesh)
+        tr.run_epoch(lambda s: batch, epoch=0)
+        out[tag] = (
+            [h["loss"] for h in tr.history],
+            jax.tree_util.tree_map(np.asarray, tr.state.params["rwkv"]),
+        )
+
+    l_s, p_s = out["single"]
+    l_m, p_m = out["dp2xsp4"]
+    np.testing.assert_allclose(l_m, l_s, rtol=2e-4, atol=2e-4)
+    # slightly wider atol than the x070 twin: the x060 decay LoRA
+    # (exp-of-exp) amplifies ring-vs-sequential fp reassociation over the
+    # 3 steps at lr 1e-2 (observed: 1/4096 elements at ~1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p_m), jax.tree_util.tree_leaves(p_s)):
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=3e-4)
+
+
 def test_nonfinite_gradients_are_skipped():
     """A poisoned batch (inf/nan gradients) must produce a ZERO update, not
     feed nan into the Adam moments (clip_by_global_norm_f32 + the in-step

@@ -268,6 +268,67 @@ def rwkv6_forward_tokens(params, cfg, tokens, states=None, grad_cp=False):
     return rwkv6_forward(params, cfg, embed(params, tokens), states, grad_cp)
 
 
+def rwkv6_forward_seq(
+    params: Params,
+    cfg: RWKVConfig,
+    x: Array,
+    axis: str = "seq",
+    grad_cp: bool = False,
+    return_hidden: bool = False,
+) -> Array:
+    """Context-parallel forward: run INSIDE shard_map with the TOKEN axis
+    sharded over ``axis`` (the x060 counterpart of
+    ``models.rwkv7.rwkv7_forward_seq``; same halo/ring design, no v_first).
+
+    The shard-boundary couplings are the 1-token shift (a halo exchange of
+    each shard's last post-ln token) and the WKV recurrence (the ring-scan
+    state composition of ops.wkv_sp, dispatched via ops.wkv7.wkv_seq_axis —
+    WKV6's diagonal-decay transition uses the same identity-probe
+    construction). ``x``: [B, T_local, C] with T_local % chunk_len == 0.
+    Returns this shard's logits (or hidden).
+    """
+    from visualrwkv_tpu.ops.wkv7 import wkv_seq_axis
+
+    B, T, C = x.shape
+    if T % cfg.chunk_len:
+        raise ValueError(
+            f"seq-parallel shards must be chunk-aligned: T_local={T}, "
+            f"chunk_len={cfg.chunk_len}"
+        )
+    D = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+
+    def halo_last(t):
+        recv = jax.lax.ppermute(
+            t[:, -1], axis, [(s, (s + 1) % D) for s in range(D)]
+        )
+        return jnp.where(idx == 0, jnp.zeros_like(recv), recv)
+
+    def body(p, xx, i):
+        if i == 0:
+            xx = layer_norm(p["ln0"], xx)
+        xin = layer_norm(p["ln1"], xx)
+        att_shift = halo_last(xin.astype(jnp.float32))
+        yy, _, _ = tmix_x060(p["att"], cfg, xin, att_shift, None)
+        xx = xx + yy
+        xin2 = layer_norm(p["ln2"], xx)
+        ffn_shift = halo_last(xin2.astype(jnp.float32))
+        ff, _ = cmix_x060(p["ffn"], cfg, xin2, ffn_shift)
+        return xx + ff
+
+    with wkv_seq_axis(axis):
+        for i, blk in enumerate(params["blocks"]):
+            if grad_cp:
+                x = jax.checkpoint(lambda p, xx, i=i: body(p, xx, i))(blk, x)
+            else:
+                x = body(blk, x, i)
+
+    x = layer_norm(params["ln_out"], x)
+    if return_hidden:
+        return x
+    return linear(params["head"], x, jnp.dtype(cfg.compute_dtype))
+
+
 def rwkv6_decode_step(
     params: Params, cfg: RWKVConfig, token: Array, states: List[LayerState]
 ) -> Tuple[Array, List[LayerState]]:

@@ -544,28 +544,42 @@ chunked_ce_l2wrap_sp.defvjp(_chunked_ce_sp_fwd, _chunked_ce_sp_bwd)
 def training_loss_seq(
     params: Params,
     cfg: VLMConfig,
-    input_ids: Array,
+    input_ids: Optional[Array],
     labels_next: Array,
     grad_cp: bool = True,
     ce_chunk_t: int = 128,
     seq_axis: str = "seq",
     data_axis: str = "data",
+    embeds: Optional[Array] = None,
 ) -> Array:
-    """Text-only training loss under context parallelism (run INSIDE
-    shard_map over (data, seq); tokens sharded on BOTH batch and T).
+    """Training loss under context parallelism (run INSIDE shard_map over
+    (data, seq); tokens sharded on BOTH batch and T). x070 and x060.
 
     ``labels_next`` must be pre-shifted on host (labels_next[t] targets
     logits[t]) so the shard boundary keeps each logit with its label.
+    For image batches pass ``embeds`` — the already-scattered [B, T_local, C]
+    embedding shard, computed OUTSIDE the shard_map (vision encode +
+    projector + scatter are per-position, so GSPMD shards them; only the
+    backbone needs the manual halo/ring treatment). Text-only callers pass
+    ``input_ids`` and the embed lookup happens shard-locally.
     Returns the replicated global loss (psum-mean over the data axis).
     """
+    from visualrwkv_tpu.models import rwkv6 as m6
     from visualrwkv_tpu.models import rwkv7 as m7
 
     rcfg = cfg.rwkv
-    hidden = m7.rwkv7_forward_seq(
-        params["rwkv"], rcfg, m7.embed(params["rwkv"], input_ids),
+    if embeds is None:
+        embeds = m7.embed(params["rwkv"], input_ids)
+    forward_seq = {
+        "x070": m7.rwkv7_forward_seq,
+        "x060": m6.rwkv6_forward_seq,
+    }[rcfg.version]
+    hidden = forward_seq(
+        params["rwkv"], rcfg, embeds,
         axis=seq_axis, grad_cp=grad_cp, return_hidden=True,
     )
-    chunk = ce_chunk_t if input_ids.shape[1] % ce_chunk_t == 0 else input_ids.shape[1]
+    T_local = embeds.shape[1]
+    chunk = ce_chunk_t if T_local % ce_chunk_t == 0 else T_local
     local = chunked_ce_l2wrap_sp(
         (chunk, seq_axis, data_axis),
         params["rwkv"]["head"]["weight"], hidden, labels_next,

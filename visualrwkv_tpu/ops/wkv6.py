@@ -249,8 +249,24 @@ def wkv6(
 ) -> Tuple[Array, Array]:
     """Entry point used by the models: fully-fused Pallas forward AND backward
     on TPU ("auto"); jnp chunked elsewhere. SPMD-partitioned per (batch, head)
-    under a mesh declared via ``ops.wkv7.set_wkv_spmd``."""
-    from visualrwkv_tpu.ops.wkv7 import _IMPL_MODE, _SPMD_DECLINED, _spmd_axes
+    under a mesh declared via ``ops.wkv7.set_wkv_spmd``. Under a declared
+    sequence axis (``ops.wkv7.wkv_seq_axis``, i.e. already INSIDE a shard_map
+    with T sharded) it runs the context-parallel ring (ops.wkv_sp)."""
+    from visualrwkv_tpu.ops.wkv7 import (
+        _IMPL_MODE,
+        _SPMD_DECLINED,
+        _spmd_axes,
+        current_seq_axis,
+    )
+
+    seq_axis = current_seq_axis()
+    if seq_axis is not None:
+        from visualrwkv_tpu.ops.wkv_sp import wkv6_seq_shard
+
+        return wkv6_seq_shard(
+            r, w_raw, k, v, u, initial_state=initial_state, chunk=chunk,
+            axis=seq_axis,
+        )
 
     T = r.shape[1]
     use_pallas = _IMPL_MODE == "pallas" or (

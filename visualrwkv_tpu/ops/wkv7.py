@@ -448,6 +448,15 @@ def wkv_spmd(mesh, batch_axis: str = "data", head_axis: str = "model"):
 _WKV_SEQ_AXIS: Optional[str] = None
 
 
+def current_seq_axis() -> Optional[str]:
+    """The sequence-shard axis declared by :func:`wkv_seq_axis` (None when
+    not under one). Accessor for sibling op modules: ``ops.__init__``
+    re-exports the ``wkv7`` FUNCTION under the package attribute, so
+    ``import visualrwkv_tpu.ops.wkv7 as m`` resolves to the function, not
+    this module."""
+    return _WKV_SEQ_AXIS
+
+
 @contextlib.contextmanager
 def wkv_seq_axis(axis: Optional[str]):
     """Declare that WKV calls traced inside are ALREADY under a shard_map

@@ -64,7 +64,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--n_data", default=None, type=int, help="data-parallel mesh size")
     p.add_argument("--n_seq", default=1, type=int,
                    help="context-parallel mesh size (tokens sharded on T; "
-                        "text-only training, see ops/wkv_sp.py)")
+                        "x070/x060, scatter-insertion image batches "
+                        "supported, see ops/wkv_sp.py)")
     # multi-host (reference train.py:75 --num_nodes under DeepSpeed DP):
     # every host runs this same CLI; jax.distributed joins them and each
     # host feeds its process-local slice of the global batch

@@ -66,17 +66,22 @@ def _make_loss_fn(cfg: TrainConfig, vlm_cfg: VLMConfig, mesh) -> Callable:
         # context parallelism: tokens sharded on T; the loss runs under an
         # explicit shard_map (halo token-shift + WKV ring need manual axes).
         # run_epoch pre-shifts labels so shard boundaries keep logit+label
-        # together. Text-only (image scatter would cross shard boundaries).
+        # together. Image batches: the embed + vision encode + projector +
+        # scatter run OUTSIDE the shard_map (all per-position; GSPMD shards
+        # them) and the shard_map takes the fused [B, T, C] embeddings.
         from jax.sharding import PartitionSpec as P
 
-        from visualrwkv_tpu.models.visualrwkv import training_loss_seq
+        from visualrwkv_tpu.models.visualrwkv import (
+            prepare_embeddings,
+            training_loss_seq,
+        )
 
         if mesh.shape.get("model", 1) > 1:
             raise NotImplementedError("seq parallel + tensor parallel is not wired")
-        if vlm_cfg.rwkv.version != "x070":
+        if vlm_cfg.rwkv.version not in ("x070", "x060"):
             raise NotImplementedError(
-                "sequence-parallel training only supports RWKV-7 (x070); "
-                f"got version={vlm_cfg.rwkv.version!r}"
+                "sequence-parallel training supports RWKV-7/RWKV-6 "
+                f"(x070/x060); got version={vlm_cfg.rwkv.version!r}"
             )
         _seq_loss = jax.shard_map(
             lambda p, ids, lbl: training_loss_seq(
@@ -86,14 +91,28 @@ def _make_loss_fn(cfg: TrainConfig, vlm_cfg: VLMConfig, mesh) -> Callable:
             in_specs=(P(), P("data", "seq"), P("data", "seq")),
             out_specs=P(),
         )
+        _seq_loss_embeds = jax.shard_map(
+            lambda p, emb, lbl: training_loss_seq(
+                p, vlm_cfg, None, lbl, grad_cp=cfg.grad_cp, embeds=emb
+            ),
+            mesh=mesh,
+            in_specs=(P(), P("data", "seq", None), P("data", "seq")),
+            out_specs=P(),
+        )
 
     def loss_fn(params, micro, plan=None):
         if seq_par:
             if micro.get("images") is not None:
-                raise NotImplementedError(
-                    "sequence-parallel training is text-only (the image "
-                    "scatter would cross shard boundaries)"
+                if leftpad or vlm_cfg.bidirectional_image:
+                    raise NotImplementedError(
+                        "sequence-parallel image training supports the "
+                        "default scatter insertion only (leftpad reshapes "
+                        "T per batch; bidirectional needs the whole span)"
+                    )
+                emb = prepare_embeddings(
+                    params, vlm_cfg, micro["input_ids"], micro["images"]
                 )
+                return _seq_loss_embeds(params, emb, micro["labels"])
             return _seq_loss(params, micro["input_ids"], micro["labels"])
         if leftpad:
             # v6.0 variable image-token-count mode: plan is batch-static
