@@ -361,6 +361,61 @@ def measure_decode() -> dict:
     }
 
 
+def measure_spec_decode(B: int = 1, prompt_T: int = 32, max_new: int = 256,
+                        k: int = 8, reps: int = 3) -> dict:
+    """Speculative decoding at the single-stream latency point (1B5 x070):
+    bf16 target + int8 SELF-draft vs plain greedy decode. B=1 decode is
+    weight-bandwidth-bound (~1 token per 3 GB weight read); the verify pass
+    amortizes one read over k+1 positions, so committed-prefix acceptance
+    converts directly into single-stream speedup (infer/speculative.py; the
+    reference serves strictly one token per read, app/modeling_rwkv.py:1007).
+    Acceptance is measured, not assumed — random-init int8-vs-bf16 greedy
+    agreement is reported alongside the throughput."""
+    import numpy as np
+
+    from visualrwkv_tpu.config import RWKVConfig, VisionConfig, VLMConfig
+    from visualrwkv_tpu.infer.engine import InferenceEngine
+    from visualrwkv_tpu.infer.quant import quantize_lm_params
+    from visualrwkv_tpu.infer.speculative import SpeculativeEngine
+    from visualrwkv_tpu.models import rwkv7
+
+    rcfg = RWKVConfig(n_layer=24, n_embd=2048, vocab_size=65536, head_size=64,
+                      compute_dtype="bfloat16", ctx_len=2048)
+    cfg = VLMConfig(rwkv=rcfg, vision=VisionConfig(towers=()),
+                    proj_type="linear", num_token_per_image=1)
+    init = jax.jit(functools.partial(rwkv7.init_rwkv7_params, cfg=rcfg))
+    p32 = init(jax.random.PRNGKey(0))
+    target = {"rwkv": jax.jit(
+        lambda p: jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), p)
+    )(p32)}
+    draft = {"rwkv": jax.jit(quantize_lm_params)(p32)}
+
+    ids = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(1), (B, prompt_T), 1, 65000)
+    )
+    eng = InferenceEngine(target, cfg)
+    spec = SpeculativeEngine(target, cfg, draft, cfg, k=k)
+
+    def timed(fn):
+        fn()  # compile + warm
+        t0 = time.time()
+        for _ in range(reps):
+            out = fn()
+        return (time.time() - t0) / reps, out
+
+    plain_s, _ = timed(lambda: eng.generate(
+        ids, max_new_tokens=max_new, do_sample=False, stop_tokens=()))
+    spec_s, s = timed(lambda: spec.generate(
+        ids, max_new_tokens=max_new, stop_tokens=()))
+    acc = float(s.accepted.sum()) / max(1, s.rounds * k * B)
+    return {
+        "decode_tok_per_s_1B5_B1_bf16_plain": round(B * max_new / plain_s, 1),
+        "spec_decode_tok_per_s_1B5_B1_int8draft": round(B * max_new / spec_s, 1),
+        "spec_acceptance_rate": round(acc, 3),
+        "spec_speedup_B1": round(plain_s / spec_s, 2),
+    }
+
+
 def measure_train_step_0b4(x: int = 16, rounds: int = 2, n_layer: int = 24,
                            n_embd: int = 1024, micro_bsz: int = 2,
                            accum: int = 4, T: int = 2048,
@@ -486,6 +541,9 @@ def main():
             x=8, n_embd=2048, optim_precision="bf16_sr", stacked=False
         ),
     )
+    # speculative decoding at the single-stream latency point (bf16 1B5 +
+    # int8 self-draft; measured acceptance, lossless greedy)
+    leg("spec_decode", "BENCH_SPEC", measure_spec_decode)
     # 7B x060 int8 serving (BASELINE configs[3]); biggest HBM leg, runs last
     leg("decode_tok_per_s_7B_x060_int8", "BENCH_7B", measure_decode_7b_x060)
     extra["bench_total_s"] = round(time.time() - t_start, 1)

@@ -1,0 +1,123 @@
+"""Speculative decoding: verify-forward parity, greedy losslessness against
+the plain engine (any draft), full acceptance under self-drafting."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visualrwkv_tpu.config import RWKVConfig, VisionConfig, VLMConfig
+from visualrwkv_tpu.infer.engine import InferenceEngine
+from visualrwkv_tpu.infer.speculative import (
+    SpeculativeEngine,
+    forward_states,
+    quantize_self_draft,
+    select_states,
+)
+from visualrwkv_tpu.models import lm
+from visualrwkv_tpu.models.visualrwkv import init_visualrwkv_params
+
+
+def text_cfg(version="x070", n_layer=2, n_embd=64, vocab=512, seed_dim=16):
+    return VLMConfig(
+        rwkv=RWKVConfig(
+            version=version, n_layer=n_layer, n_embd=n_embd,
+            vocab_size=vocab, head_size=seed_dim,
+            compute_dtype="float32", ctx_len=64, chunk_len=16,
+        ),
+        vision=VisionConfig(towers=()),
+        proj_type="linear",
+        num_token_per_image=4,
+    )
+
+
+def _params(cfg, seed=0):
+    return init_visualrwkv_params(jax.random.PRNGKey(seed), cfg)
+
+
+@pytest.mark.parametrize("version", ["x070", "x060"])
+def test_forward_states_matches_decode_scan(version):
+    """The T-parallel verify forward must reproduce the sequential decode
+    steps: logits at every position and the rolled-back state at every
+    acceptance point."""
+    cfg = text_cfg(version)
+    params = _params(cfg)["rwkv"]
+    B, K = 2, 5
+    toks = jax.random.randint(jax.random.PRNGKey(1), (B, K), 1, 500)
+    st0 = lm.init_lm_state(cfg.rwkv, B)
+
+    logits_all, trail = forward_states(
+        params, cfg.rwkv, lm.embed(params, toks), st0
+    )
+
+    st = st0
+    for i in range(K):
+        step_logits, st = lm.lm_decode_step(params, cfg.rwkv, toks[:, i], st)
+        np.testing.assert_allclose(
+            np.asarray(logits_all[:, i]), np.asarray(step_logits),
+            rtol=2e-5, atol=2e-5,
+        )
+        picked = select_states(trail, jnp.full((B,), i, jnp.int32))
+        for a, b in zip(jax.tree_util.tree_leaves(picked),
+                        jax.tree_util.tree_leaves(st)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+            )
+
+
+@pytest.mark.parametrize("version", ["x070", "x060"])
+def test_speculative_greedy_is_lossless(version):
+    """ANY draft (here: an independent random model) must leave the greedy
+    output unchanged — acceptance only keeps tokens the target itself would
+    have chosen."""
+    cfg = text_cfg(version)
+    params = _params(cfg, seed=0)
+    draft_cfg = text_cfg(version, n_layer=1, n_embd=32, seed_dim=16)
+    draft = _params(draft_cfg, seed=7)
+
+    ids = np.array(jax.random.randint(jax.random.PRNGKey(2), (2, 8), 1, 500))
+    ref = InferenceEngine(params, cfg).generate(
+        ids, max_new_tokens=24, do_sample=False
+    )
+    spec = SpeculativeEngine(params, cfg, draft, draft_cfg, k=4).generate(
+        ids, max_new_tokens=24
+    )
+    np.testing.assert_array_equal(spec.tokens, ref.tokens)
+    np.testing.assert_array_equal(spec.lengths, ref.lengths)
+
+
+def test_speculative_self_draft_accepts_everything():
+    """Draft == target: every proposal is the target's own greedy choice, so
+    each round commits k+1 tokens and acceptance is exactly k per round."""
+    cfg = text_cfg("x070")
+    params = _params(cfg)
+    ids = np.array(jax.random.randint(jax.random.PRNGKey(3), (1, 8), 1, 500))
+    k, mnt = 4, 20
+    spec = SpeculativeEngine(params, cfg, params, cfg, k=k).generate(
+        ids, max_new_tokens=mnt, stop_tokens=()
+    )
+    assert spec.rounds == -(-mnt // (k + 1)), spec.rounds
+    assert int(spec.accepted[0]) == spec.rounds * k
+    ref = InferenceEngine(params, cfg).generate(
+        ids, max_new_tokens=mnt, do_sample=False, stop_tokens=()
+    )
+    np.testing.assert_array_equal(spec.tokens, ref.tokens)
+
+
+def test_speculative_int8_self_draft_runs():
+    """The no-second-checkpoint config: int8 self-draft stays lossless and
+    reports a plausible acceptance diagnostic."""
+    cfg = text_cfg("x070")
+    params = _params(cfg)
+    draft = quantize_self_draft(params)
+    ids = np.array(jax.random.randint(jax.random.PRNGKey(4), (2, 8), 1, 500))
+    spec = SpeculativeEngine(params, cfg, draft, cfg, k=4).generate(
+        ids, max_new_tokens=16, stop_tokens=()
+    )
+    ref = InferenceEngine(params, cfg).generate(
+        ids, max_new_tokens=16, do_sample=False, stop_tokens=()
+    )
+    np.testing.assert_array_equal(spec.tokens, ref.tokens)
+    assert 0 <= int(spec.accepted.sum()) <= spec.rounds * 4 * 2

@@ -477,9 +477,10 @@ def test_training_loss_seq_images_matches_dense():
     )
 
     cfg = tiny_vlm_cfg()
-    cfg = cfg.replace(rwkv=dataclasses.replace(cfg.rwkv, ctx_len=64, chunk_len=16))
+    cfg = cfg.replace(rwkv=dataclasses.replace(
+        cfg.rwkv, ctx_len=32, chunk_len=8, vocab_size=4096))
     params = init_visualrwkv_params(jax.random.PRNGKey(0), cfg)
-    batch = make_batch(jax.random.PRNGKey(1), bsz=2, T=64)
+    batch = make_batch(jax.random.PRNGKey(1), bsz=2, T=32)
     ids, labels = jnp.asarray(batch["input_ids"]), np.asarray(batch["labels"])
     images = {k: jnp.asarray(v) for k, v in batch["images"].items()}
 
@@ -689,14 +690,16 @@ def test_bf16_sr_training_tracks_fp32():
     assert abs(sr[-1] - final["master_fp32"][-1]) < 0.25, final
 
 
-def test_split_step_matches_fused():
-    """split_step=True (grad program + optimizer program, two dispatches)
-    must track the fused one-jit step: same math, different compilation
-    boundary (the 1B5 bf16_sr near-HBM-edge escape hatch). The bf16_sr
-    branch is covered because its SR key is deterministic in `step`."""
+def _run_split_vs_fused(optim_precision, param_dtype, rtol, atol):
+    """Shared body: split_step=True (grad program + optimizer program, two
+    dispatches) must track the fused one-jit step — same math, different
+    compilation boundary (the 1B5 bf16_sr near-HBM-edge escape hatch)."""
     import dataclasses
 
     cfg = dataclasses.replace(tiny_vlm_cfg(), vision=VisionConfig(towers=()))
+    # 4k vocab: the 66k head/emb/optimizer leaves dominate compile+run time
+    # on the 1-core CI box and prove nothing extra about the split boundary
+    cfg = cfg.replace(rwkv=dataclasses.replace(cfg.rwkv, vocab_size=4096))
     params = init_visualrwkv_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
     ids = rng.integers(0, 300, (4, 32)).astype(np.int32)
@@ -708,8 +711,8 @@ def test_split_step_matches_fused():
         tcfg = TrainConfig(
             lr_init=1e-2, lr_final=1e-2, epoch_steps=2, epoch_count=1,
             micro_bsz=2, accumulate_grad_batches=2, grad_cp=True,
-            zero_stage=0, grad_clip=1.0, param_dtype="bfloat16",
-            optim_precision="bf16_sr", split_step=split,
+            zero_stage=0, grad_clip=1.0, param_dtype=param_dtype,
+            optim_precision=optim_precision, split_step=split,
         )
         tr = Trainer(cfg, tcfg, jax.tree_util.tree_map(jnp.copy, params),
                      mesh=mesh)
@@ -721,8 +724,21 @@ def test_split_step_matches_fused():
                     jax.tree_util.tree_leaves(final[True])):
         np.testing.assert_allclose(
             np.asarray(a, np.float32), np.asarray(b, np.float32),
-            rtol=2e-2, atol=2e-4,
+            rtol=rtol, atol=atol,
         )
+
+
+def test_split_step_matches_fused():
+    # fp32/adamw: the split-boundary logic itself (the bf16_sr production
+    # combo is the slow-marked twin below — CPU bf16 emulation costs ~60 s)
+    _run_split_vs_fused("master_fp32", "float32", 1e-5, 1e-7)
+
+
+@pytest.mark.slow
+def test_split_step_bf16_sr_matches_fused():
+    # the actual 1B5 escape-hatch combo: bf16 params + bf16_sr optimizer
+    # (SR key deterministic in `step`, so split and fused stay comparable)
+    _run_split_vs_fused("bf16_sr", "bfloat16", 2e-2, 2e-4)
 
 
 @pytest.mark.slow

@@ -139,6 +139,7 @@ def tmix_x060(
     x: Array,
     shift_state: Optional[Array] = None,
     wkv_state: Optional[Array] = None,
+    wkv_fn=None,
 ) -> Tuple[Array, Array, Array]:
     B, T, C = x.shape
     H, N = cfg.n_head, cfg.head_size
@@ -175,7 +176,7 @@ def tmix_x060(
     w_raw = p["time_decay"] + ww
 
     shp = (B, T, H, N)
-    y, new_wkv = wkv6(
+    y, new_wkv = (wkv_fn or wkv6)(
         r.astype(dt).reshape(shp),
         w_raw.astype(dt).reshape(shp),
         k.astype(dt).reshape(shp),

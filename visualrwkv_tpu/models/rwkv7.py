@@ -240,8 +240,14 @@ def tmix_x070(
     v_first: Optional[Array],
     shift_state: Optional[Array] = None,
     wkv_state: Optional[Array] = None,
+    wkv_fn=None,
 ) -> Tuple[Array, Array, Array, Array]:
-    """Returns (out, v_first, new_shift_state, new_wkv_state)."""
+    """Returns (out, v_first, new_shift_state, new_wkv_state).
+
+    ``wkv_fn`` overrides the WKV recurrence op (same call signature as
+    ops.wkv7.wkv7) — the speculative-decoding verify pass substitutes
+    ops.wkv7.wkv7_scan_states to get the state at every position, in which
+    case the returned new_wkv_state carries a [B, T, H, N, N] trail."""
     B, T, C = x.shape
     H = cfg.n_head
     dt = jnp.dtype(cfg.compute_dtype)
@@ -282,7 +288,7 @@ def tmix_x070(
     k = k * (1 + (a - 1) * p["k_a"])
 
     shp = (B, T, H, C // H)
-    y, new_wkv = wkv7(
+    y, new_wkv = (wkv_fn or wkv7)(
         r.astype(dt).reshape(shp),
         w_raw.astype(dt).reshape(shp),
         k.astype(dt).reshape(shp),

@@ -70,6 +70,30 @@ def wkv6_step_flat(
     return s4.reshape(B, N, HN).astype(state.dtype), y.astype(out_dtype)
 
 
+def wkv6_scan_states(
+    r: Array, w_raw: Array, k: Array, v: Array, u: Array,
+    initial_state: Optional[Array] = None, chunk: Optional[int] = None,
+) -> Tuple[Array, Array]:
+    """WKV6 over a short token window with the state at every position
+    (speculative-decoding verify; see ops.wkv7.wkv7_scan_states).
+
+    Returns (y [B, T, H, N], states [B, T, H, N, N] fp32)."""
+    B, T, H, N = r.shape
+    s0 = (
+        jnp.zeros((B, H, N, N), jnp.float32)
+        if initial_state is None
+        else initial_state.astype(jnp.float32)
+    )
+
+    def body(state, xs):
+        state, y = wkv6_step(state, *xs, u)
+        return state, (y, state)
+
+    xs = tuple(jnp.moveaxis(x, 1, 0) for x in (r, w_raw, k, v))
+    _, (y, states) = jax.lax.scan(body, s0, xs)
+    return jnp.moveaxis(y, 0, 1), jnp.moveaxis(states, 0, 1)
+
+
 def wkv6_step_auto(state, r, w_raw, k, v, u):
     """Decode-step dispatch; policy in ops.wkv7.set_wkv_step_impl (measured:
     the fused step kernel wins in isolation but loses end-to-end — default

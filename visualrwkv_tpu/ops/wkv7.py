@@ -146,6 +146,40 @@ def wkv7_step_flat(
     return s4.reshape(B, N, HN).astype(state.dtype), y.astype(out_dtype)
 
 
+def wkv7_scan_states(
+    r: Array, w_raw: Array, k: Array, v: Array, a: Array, b: Array,
+    initial_state: Optional[Array] = None, chunk: Optional[int] = None,
+) -> Tuple[Array, Array]:
+    """WKV7 over a SHORT token window, returning the state at EVERY position.
+
+    Speculative-decoding verify needs to roll the recurrence back to the
+    last accepted token, so the chunked kernels (final state only) don't
+    fit; a ``lax.scan`` of the O(1) decode update over the ≤(k+1)-token
+    window emits the full state trail. The window's elementwise scan is
+    negligible next to the T-parallel projections around it, which read the
+    weights ONCE for all positions — that single weight read is the whole
+    point of speculative verification. ``chunk`` is accepted (and ignored)
+    so this slots into ``tmix_x070(wkv_fn=...)``.
+
+    Returns (y [B, T, H, N], states [B, T, H, N, N] fp32) where
+    ``states[:, i]`` is the state AFTER consuming position i.
+    """
+    B, T, H, N = r.shape
+    s0 = (
+        jnp.zeros((B, H, N, N), jnp.float32)
+        if initial_state is None
+        else initial_state.astype(jnp.float32)
+    )
+
+    def body(state, xs):
+        state, y = wkv7_step(state, *xs)
+        return state, (y, state)
+
+    xs = tuple(jnp.moveaxis(x, 1, 0) for x in (r, w_raw, k, v, a, b))
+    _, (y, states) = jax.lax.scan(body, s0, xs)
+    return jnp.moveaxis(y, 0, 1), jnp.moveaxis(states, 0, 1)
+
+
 def state_to_flat(state: Array) -> Array:
     """``[B, H, N_v, N_k]`` -> lane-flat ``[B, N_v, H*N_k]`` (decode carry)."""
     B, H, Nv, Nk = state.shape
