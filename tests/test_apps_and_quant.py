@@ -203,3 +203,21 @@ def test_demo_build_ui_smoke():
     assert clicks[0][1] is respond_text and clicks[0][2] == 6
     assert clicks[1][1] is respond and clicks[1][2] == 6
     assert "Image" in kinds and "Slider" in kinds and "Button" in kinds
+
+
+def test_benchmark_app_spec_branch(tmp_path):
+    """apps.benchmark CLI end to end at a tiny geometry, including the
+    --spec_k int8-self-draft speculative leg (jsonl schema + acceptance)."""
+    from visualrwkv_tpu.apps import benchmark as bm
+
+    out = tmp_path / "bench.jsonl"
+    bm.main([
+        "--n_layer", "1", "--n_embd", "64", "--ctx_len", "64",
+        "--max_pow", "2", "--reps", "2", "--discard", "1",
+        "--spec_k", "2", "--output_file", str(out),
+    ])
+    recs = [json.loads(l) for l in out.read_text().splitlines()]
+    spec = [r for r in recs if r.get("spec_k") == 2]
+    assert spec and spec[0]["tok_per_s"] > 0
+    assert 0.0 <= spec[0]["acceptance"] <= 1.0
+    assert any("new_tokens" in r and "spec_k" not in r for r in recs)

@@ -46,6 +46,10 @@ def main(argv=None):
     p.add_argument("--max_pow", default=10, type=int, help="max new_tokens = 2^max_pow")
     p.add_argument("--reps", default=15, type=int)
     p.add_argument("--discard", default=5, type=int)
+    p.add_argument("--spec_k", default=0, type=int,
+                   help="also benchmark speculative decoding with an int8 "
+                        "self-draft at this proposal window (0 = off; "
+                        "greedy-lossless, see infer/speculative.py)")
     p.add_argument("--output_file", default="benchmark_results.jsonl")
     args = p.parse_args(argv)
 
@@ -134,6 +138,44 @@ def main(argv=None):
                 "memory": device_memory_stats(),
             }
         )
+        print(records[-1])
+
+    if args.spec_k > 0:
+        from visualrwkv_tpu.config import VisionConfig, VLMConfig
+        from visualrwkv_tpu.infer.speculative import (
+            SpeculativeEngine,
+            quantize_self_draft,
+        )
+
+        vcfg = VLMConfig(rwkv=cfg, vision=VisionConfig(towers=()),
+                         proj_type="linear", num_token_per_image=1)
+        tgt = {"rwkv": params}
+        if args.quant == "none":
+            draft = {"rwkv": quantize_self_draft(params)}
+        else:
+            # already-int8 target: the draft IS the target (full acceptance;
+            # measures loop overhead rather than a deployment config)
+            draft = tgt
+        spec = SpeculativeEngine(tgt, vcfg, draft, vcfg, k=args.spec_k)
+        n = 2**args.max_pow
+        ids = np.asarray(prompt)
+        r = spec.generate(ids, max_new_tokens=n, stop_tokens=())
+        times = []
+        for _ in range(max(1, args.reps - args.discard)):
+            t0 = time.time()
+            r = spec.generate(ids, max_new_tokens=n, stop_tokens=())
+            times.append(time.time() - t0)
+        mean_s = float(np.mean(times))
+        records.append({
+            "new_tokens": n,
+            "batch": args.batch,
+            "spec_k": args.spec_k,
+            "latency_s": round(mean_s, 5),
+            "tok_per_s": round(args.batch * n / mean_s, 1),
+            "acceptance": round(
+                float(r.accepted.sum()) / max(1, r.rounds * args.spec_k * args.batch), 3
+            ),
+        })
         print(records[-1])
 
     with open(out_path, "w") as f:
