@@ -362,7 +362,7 @@ def measure_decode() -> dict:
 
 
 def measure_spec_decode(B: int = 1, prompt_T: int = 32, max_new: int = 256,
-                        k: int = 8, reps: int = 3) -> dict:
+                        k: int = 12, reps: int = 3) -> dict:
     """Speculative decoding at the single-stream latency point (1B5 x070):
     bf16 target + int8 SELF-draft vs plain greedy decode. B=1 decode is
     weight-bandwidth-bound (~1 token per 3 GB weight read); the verify pass
@@ -370,7 +370,11 @@ def measure_spec_decode(B: int = 1, prompt_T: int = 32, max_new: int = 256,
     converts directly into single-stream speedup (infer/speculative.py; the
     reference serves strictly one token per read, app/modeling_rwkv.py:1007).
     Acceptance is measured, not assumed — random-init int8-vs-bf16 greedy
-    agreement is reported alongside the throughput."""
+    agreement is reported alongside the throughput. k sweep (v5e, this
+    config): k=8 1.17x, k=12 1.20x (default), k=16 1.12x, k=24 0.99x —
+    the int8 self-draft costs ~half a target step, so long windows pay
+    more in draft serial time than the amortized verify saves; a smaller
+    trained draft (0B1/0B4) raises the ceiling at deployment."""
     import numpy as np
 
     from visualrwkv_tpu.config import RWKVConfig, VisionConfig, VLMConfig
