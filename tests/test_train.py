@@ -540,6 +540,89 @@ def test_trainer_seq_parallel_images_matches_single_device():
         np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-5)
 
 
+def test_training_loss_seq_sp_tp_matches_dense():
+    """SP x TP 3-D mesh (data=2, seq=2, model=2): the partial-manual
+    shard_map (manual over data/seq, `model` left to GSPMD) must match the
+    single-device loss AND gradients."""
+    import dataclasses
+
+    from jax.sharding import PartitionSpec as P
+
+    from visualrwkv_tpu.models.visualrwkv import training_loss, training_loss_seq
+
+    cfg = tiny_vlm_cfg()
+    cfg = cfg.replace(rwkv=dataclasses.replace(
+        cfg.rwkv, ctx_len=32, chunk_len=8, vocab_size=4096))
+    params = init_visualrwkv_params(jax.random.PRNGKey(0), cfg)
+    ids = np.array(jax.random.randint(jax.random.PRNGKey(1), (4, 32), 1, 300))
+    labels = ids.copy()
+    labels[:, :4] = IGNORE_INDEX
+    lbl_next = np.concatenate(
+        [labels[:, 1:], np.full((4, 1), IGNORE_INDEX, labels.dtype)], axis=1
+    )
+
+    mesh = make_mesh(n_data=2, n_model=2, n_seq=2)
+    f = jax.jit(jax.shard_map(
+        lambda p, i, l: training_loss_seq(p, cfg, i, l, grad_cp=False),
+        mesh=mesh,
+        in_specs=(P(), P("data", "seq"), P("data", "seq")),
+        out_specs=P(),
+        axis_names=frozenset({"data", "seq"}),
+    ))
+    loss_sp = f(params, jnp.asarray(ids), jnp.asarray(lbl_next))
+    ref = training_loss(params, cfg, jnp.asarray(ids), jnp.asarray(labels),
+                        None, grad_cp=False)
+    np.testing.assert_allclose(float(loss_sp), float(ref), rtol=1e-5)
+
+    g_sp = jax.jit(jax.grad(
+        lambda p: f(p, jnp.asarray(ids), jnp.asarray(lbl_next))))(params)
+    g_ref = jax.jit(jax.grad(
+        lambda p: training_loss(p, cfg, jnp.asarray(ids), jnp.asarray(labels),
+                                None, grad_cp=False)))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_sp),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_trainer_sp_tp_matches_single_device():
+    """Full Trainer on the 3-D (data=2, seq=2, model=2) mesh — TP param
+    placement + partial-manual SP loss + ZeRO-1 — matches single-device."""
+    import dataclasses
+
+    cfg = tiny_vlm_cfg()
+    cfg = cfg.replace(rwkv=dataclasses.replace(cfg.rwkv, ctx_len=64, chunk_len=16))
+    params = init_visualrwkv_params(jax.random.PRNGKey(0), cfg)
+    ids = np.array(jax.random.randint(jax.random.PRNGKey(1), (4, 64), 1, 300))
+    labels = ids.copy()
+    labels[:, :8] = IGNORE_INDEX
+    batch = {"input_ids": ids, "labels": labels}
+
+    out = {}
+    for tag, mesh in (
+        ("single", make_mesh(n_data=1)),
+        ("dp2xsp2xtp2", make_mesh(n_data=2, n_model=2, n_seq=2)),
+    ):
+        tcfg = TrainConfig(
+            lr_init=1e-2, lr_final=1e-2, epoch_steps=3, epoch_count=1,
+            micro_bsz=4, grad_cp=True, zero_stage=0, grad_clip=1.0,
+            stacked_layers=False,
+        )
+        tr = Trainer(cfg, tcfg, jax.tree_util.tree_map(jnp.copy, params), mesh=mesh)
+        tr.run_epoch(lambda s: batch, epoch=0)
+        out[tag] = (
+            [h["loss"] for h in tr.history],
+            jax.tree_util.tree_map(np.asarray, tr.state.params["rwkv"]),
+        )
+
+    l_s, p_s = out["single"]
+    l_m, p_m = out["dp2xsp2xtp2"]
+    np.testing.assert_allclose(l_m, l_s, rtol=2e-4, atol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p_m), jax.tree_util.tree_leaves(p_s)):
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=3e-4)
+
+
 @pytest.mark.slow
 def test_trainer_seq_parallel_x060_matches_single_device():
     """Context-parallel training with the x060 backbone (rwkv6_forward_seq):

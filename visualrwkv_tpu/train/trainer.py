@@ -76,13 +76,20 @@ def _make_loss_fn(cfg: TrainConfig, vlm_cfg: VLMConfig, mesh) -> Callable:
             training_loss_seq,
         )
 
-        if mesh.shape.get("model", 1) > 1:
-            raise NotImplementedError("seq parallel + tensor parallel is not wired")
         if vlm_cfg.rwkv.version not in ("x070", "x060"):
             raise NotImplementedError(
                 "sequence-parallel training supports RWKV-7/RWKV-6 "
                 f"(x070/x060); got version={vlm_cfg.rwkv.version!r}"
             )
+        # SP x TP 3-D meshes: the shard_map is manual over (data, seq) ONLY —
+        # the halo/ring collectives name those axes — while the `model` axis
+        # stays AUTOMATIC, so GSPMD partitions the projections/FFN/head over
+        # the TP param shardings inside the manual region (partial-manual
+        # shard_map, `axis_names`). Note the fused Pallas WKV custom call has
+        # no partitioning rule on the auto axis and replicates its (per-shard
+        # local) compute over `model`; the matmuls and head/CE — the dominant
+        # terms — shard.
+        manual = frozenset({"data", "seq"})
         _seq_loss = jax.shard_map(
             lambda p, ids, lbl: training_loss_seq(
                 p, vlm_cfg, ids, lbl, grad_cp=cfg.grad_cp
@@ -90,6 +97,7 @@ def _make_loss_fn(cfg: TrainConfig, vlm_cfg: VLMConfig, mesh) -> Callable:
             mesh=mesh,
             in_specs=(P(), P("data", "seq"), P("data", "seq")),
             out_specs=P(),
+            axis_names=manual,
         )
         _seq_loss_embeds = jax.shard_map(
             lambda p, emb, lbl: training_loss_seq(
@@ -98,6 +106,7 @@ def _make_loss_fn(cfg: TrainConfig, vlm_cfg: VLMConfig, mesh) -> Callable:
             mesh=mesh,
             in_specs=(P(), P("data", "seq", None), P("data", "seq")),
             out_specs=P(),
+            axis_names=manual,
         )
 
     def loss_fn(params, micro, plan=None):
