@@ -30,9 +30,11 @@ jax.config.update("jax_platforms", "cpu")
 # 1-core CI box (~200 jitted programs), so executables are cached on disk
 # keyed by HLO — the first run pays full compile, re-runs load AOT results
 # (measured: full fast suite 12:00 cold -> ~3x faster warm). Repo-local and
-# gitignored; delete .jax_cache/ to force cold compiles. The cpu_aot_loader
-# "machine feature" E-logs on load are benign (prefer-no-scatter/gather are
-# XLA pseudo-features, same host).
-_cache_dir = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+# gitignored; delete .jax_cache/ to force cold compiles. The directory is
+# keyed by a CPU-feature fingerprint (utils/jax_cache.py): the AOT code is
+# machine-specific and loading another machine's cache crashed XLA when the
+# CI box was swapped mid-round.
+from visualrwkv_tpu.utils.jax_cache import machine_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", machine_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
