@@ -532,9 +532,10 @@ def _chunked_ce_sp_bwd(spec, residuals, g):
         (h, ln, vl),
     )
     dh = dh.swapaxes(0, 1).reshape(B, T, C)
-    # params are replicated across shards: their cotangents must be psum'd
-    # over BOTH manual axes (shard_map only auto-psums for out_specs)
-    dw = jax.lax.psum(dw, (seq_axis, data_axis))
+    # dw stays SHARD-LOCAL (varying): training_loss_seq wraps the params in
+    # psum_cotangents_f32, which performs the one fp32 reduction over both
+    # manual axes on the way out — reducing here too would double-count.
+    dw = _vary(dw, hidden, extra_axes=(seq_axis, data_axis))
     return dw.astype(head_w.dtype), dh.astype(hidden.dtype), None
 
 
@@ -566,8 +567,15 @@ def training_loss_seq(
     """
     from visualrwkv_tpu.models import rwkv6 as m6
     from visualrwkv_tpu.models import rwkv7 as m7
+    from visualrwkv_tpu.parallel.collectives import psum_cotangents_f32
 
     rcfg = cfg.rwkv
+    # Reduce parameter cotangents over the manual axes ourselves, in fp32:
+    # better numerics than shard_map's boundary psum in the param dtype, and
+    # it keeps bf16 all-reduces out of the graph entirely (XLA:CPU's
+    # AllReducePromotion CHECK-crashes cloning them for some layouts — the
+    # round-4 dryrun failure; see parallel/collectives.py).
+    params = psum_cotangents_f32((data_axis, seq_axis), params)
     if embeds is None:
         embeds = m7.embed(params["rwkv"], input_ids)
     forward_seq = {
