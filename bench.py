@@ -361,6 +361,84 @@ def measure_decode() -> dict:
     }
 
 
+def measure_spec_decode_small_draft(B: int = 1, prompt_T: int = 32,
+                                    max_new: int = 256,
+                                    ks: tuple = (8, 16, 24),
+                                    reps: int = 3) -> dict:
+    """Two-checkpoint speculative decoding at deployment shape: a SEPARATE
+    0B1-geometry draft (L12 D768, int8 — the released-family small model,
+    reference MODEL_ZOO.md) proposing for the 1B5 bf16 target, swept over k.
+
+    Random weights measure the MECHANICS faithfully (round latency is
+    weight-bandwidth-bound, independent of values) but an untrained separate
+    draft agrees with the target near-never, so the measured acceptance
+    floors at ~0 and tok/s shows the worst case. To expose the ceiling a
+    TRAINED draft would reach, each k also reports
+    ``spec_small_ceiling_tok_per_s_k{k}``: committed tokens/round replaced
+    by the int8 SELF-draft's measured acceptance at the same k (the two
+    agreement distributions bound deployment from above/below) over the
+    MEASURED small-draft round time. The engine path itself is exercised
+    end-to-end (tests/test_speculative.py::test_separate_small_draft_*)."""
+    import numpy as np
+
+    from visualrwkv_tpu.config import RWKVConfig, VisionConfig, VLMConfig
+    from visualrwkv_tpu.infer.engine import InferenceEngine
+    from visualrwkv_tpu.infer.quant import quantize_lm_params
+    from visualrwkv_tpu.infer.speculative import SpeculativeEngine
+    from visualrwkv_tpu.models import rwkv7
+
+    tcfg = RWKVConfig(n_layer=24, n_embd=2048, vocab_size=65536, head_size=64,
+                      compute_dtype="bfloat16", ctx_len=2048)
+    dcfg = RWKVConfig(n_layer=12, n_embd=768, vocab_size=65536, head_size=64,
+                      compute_dtype="bfloat16", ctx_len=2048)
+    vcfg_t = VLMConfig(rwkv=tcfg, vision=VisionConfig(towers=()),
+                       proj_type="linear", num_token_per_image=1)
+    vcfg_d = VLMConfig(rwkv=dcfg, vision=VisionConfig(towers=()),
+                       proj_type="linear", num_token_per_image=1)
+
+    target = {"rwkv": jax.jit(
+        lambda key: jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16),
+            rwkv7.init_rwkv7_params(key, cfg=tcfg),
+        )
+    )(jax.random.PRNGKey(0))}
+    draft = {"rwkv": jax.jit(
+        lambda key: quantize_lm_params(rwkv7.init_rwkv7_params(key, cfg=dcfg))
+    )(jax.random.PRNGKey(7))}
+
+    ids = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(1), (B, prompt_T), 1, 65000)
+    )
+    eng = InferenceEngine(target, vcfg_t)
+
+    def timed(fn):
+        fn()
+        t0 = time.time()
+        for _ in range(reps):
+            out = fn()
+        return (time.time() - t0) / reps, out
+
+    plain_s, _ = timed(lambda: eng.generate(
+        ids, max_new_tokens=max_new, do_sample=False, stop_tokens=()))
+    out = {"spec_small_plain_tok_per_s": round(B * max_new / plain_s, 1)}
+    # int8 SELF-draft acceptance per k: the trained-draft agreement proxy
+    self_acc = {8: 0.81, 12: 0.78, 16: 0.74, 24: 0.66}  # measured r4, v5e
+    for k in ks:
+        spec = SpeculativeEngine(target, vcfg_t, draft, vcfg_d, k=k)
+        spec_s, s = timed(lambda: spec.generate(
+            ids, max_new_tokens=max_new, stop_tokens=()))
+        acc = float(s.accepted.sum()) / max(1, s.rounds * k * B)
+        out[f"spec_small_tok_per_s_k{k}"] = round(B * max_new / spec_s, 1)
+        out[f"spec_small_acceptance_k{k}"] = round(acc, 3)
+        # ceiling: measured round time at this k (t_round = spec_s/rounds)
+        # with the proxy acceptance a: ~k*a+1 committed tokens per round
+        a = self_acc.get(k, 0.7)
+        out[f"spec_small_ceiling_tok_per_s_k{k}"] = round(
+            (k * a + 1.0) * s.rounds / spec_s, 1
+        )
+    return out
+
+
 def measure_spec_decode(B: int = 1, prompt_T: int = 32, max_new: int = 256,
                         k: int = 12, reps: int = 3) -> dict:
     """Speculative decoding at the single-stream latency point (1B5 x070):
@@ -479,80 +557,138 @@ def measure_train_step_0b4(x: int = 16, rounds: int = 2, n_layer: int = 24,
     return round(best, 1)
 
 
+# Leg registry. Every leg runs in its OWN subprocess: round 4 proved the
+# HBM-edge legs (1B5 bf16_sr train peaks 15.06/15.75 GB) OOM when run after
+# earlier legs in one process even with jax.clear_caches() between them —
+# the residue is allocator fragmentation / executable-pinned memory the
+# in-process scrub cannot reach (the live-array forensics never fired).
+# A fresh process per leg gets the chip's full HBM; the ORCHESTRATING
+# process never initializes the TPU backend at all.
+LEGS = {
+    # headline: 1B5 int8 batched decode (+prefill, bf16 variants)
+    "decode": measure_decode,
+    # image-inclusive TTFT @336/448 + batched encode throughput (BASELINE
+    # gate <= 150 ms @336px; north-star "prefill images/sec")
+    "vision": measure_vision_suite,
+    # 0B4 training throughput (driver-recorded evidence for train claims)
+    "train_tok_per_s_0B4_B2a4": measure_train_step_0b4,
+    # v6-family training (the published-paper backbone) at the same geometry
+    "train_tok_per_s_0B4_x060": lambda: measure_train_step_0b4(
+        x=8, version="x060", stacked=False
+    ),
+    # 1B5 training on ONE chip via the master-less bf16_sr optimizer.
+    # List layout: the stacked tree's whole-depth [23, ...] gradient leaves
+    # push compile-time HBM to 16.59G/15.75G at this scale (64.5% HLO-temp
+    # fragmentation), while the per-layer list leaves free early and fit.
+    "train_tok_per_s_1B5_bf16sr": lambda: measure_train_step_0b4(
+        x=8, n_embd=2048, optim_precision="bf16_sr", stacked=False
+    ),
+    # speculative decoding at the single-stream latency point (bf16 1B5 +
+    # int8 self-draft; measured acceptance, lossless greedy)
+    "spec_decode": measure_spec_decode,
+    # two-checkpoint spec decode: separate 0B1-geometry int8 draft + k sweep
+    "spec_decode_small_draft": measure_spec_decode_small_draft,
+    # 7B x060 int8 serving (BASELINE configs[3]); biggest HBM leg
+    "decode_tok_per_s_7B_x060_int8": measure_decode_7b_x060,
+}
+
+_LEG_ENV = {
+    "vision": "BENCH_TTFT",
+    "train_tok_per_s_0B4_B2a4": "BENCH_TRAIN",
+    "train_tok_per_s_0B4_x060": "BENCH_TRAIN_X060",
+    "train_tok_per_s_1B5_bf16sr": "BENCH_TRAIN_1B5",
+    "spec_decode": "BENCH_SPEC",
+    "spec_decode_small_draft": "BENCH_SPEC_SMALL",
+    "decode_tok_per_s_7B_x060_int8": "BENCH_7B",
+}
+
+_CHILD_JSON_TAG = "BENCH_LEG_RESULT:"
+
+
+def run_leg_child(name: str) -> None:
+    """Child mode (``bench.py --leg NAME``): run one measurement and print a
+    tagged JSON line. Tagged so stray library prints cannot be mistaken for
+    the result; the parent scans stdout for the tag.
+
+    BENCH_FAKE_LEG_JSON/_SIGNAL short-circuit the measurement so the
+    driver-contract tests can exercise the real subprocess plumbing (parse,
+    crash, merge) without a TPU."""
+    fake = os.environ.get("BENCH_FAKE_LEG_JSON")
+    if fake is not None:
+        sig = os.environ.get("BENCH_FAKE_LEG_SIGNAL")
+        if sig:
+            os.kill(os.getpid(), int(sig))
+        print(_CHILD_JSON_TAG + fake, flush=True)
+        return
+    out = LEGS[name]()
+    print(_CHILD_JSON_TAG + json.dumps(out), flush=True)
+
+
+def _spawn_leg(name: str, timeout_s: float):
+    """Run one leg in a fresh interpreter; returns (parsed_json_or_None,
+    error_string_or_None)."""
+    env = dict(os.environ)
+    env["BENCH_SKIP_PROBE"] = "1"
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--leg", name],
+            env=env, capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return None, f"timeout after {timeout_s:.0f}s"
+    for line in reversed(proc.stdout.splitlines()):
+        if line.startswith(_CHILD_JSON_TAG):
+            try:
+                return json.loads(line[len(_CHILD_JSON_TAG):]), None
+            except json.JSONDecodeError as e:
+                return None, f"unparseable leg output: {e}"
+    tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+    tail = "; ".join(tail[-3:])[-280:]
+    return None, f"rc={proc.returncode}: {tail}"
+
+
 def main():
     if os.environ.get("BENCH_SKIP_PROBE") != "1":
         wait_for_tpu()
     t_start = time.time()
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "3000"))
-    result = measure_decode()
-    extra = result["extra"]
 
-    # optional legs run in increasing-memory order, each gated by an env var
-    # AND a global soft budget so a degraded tunnel cannot eat the driver's
-    # whole window; every failure/skip is recorded machine-readably.
-    def _scrub(tag):
-        # free prior legs' HBM residue: compiled executables pin their device
-        # constants and the pjit caches outlive the legs' Python frames —
-        # measured: the 1B5 train leg (15.06/15.75 GB peak standalone) OOMs
-        # in-process after the decode/vision/train legs unless caches drop.
-        # Record what is still alive machine-readably for OOM forensics.
-        import gc
+    # headline leg first; its failure must still yield ONE parseable line
+    headline, err = _spawn_leg("decode", min(budget_s, 1500.0))
+    if headline is None:
+        result = {
+            "metric": METRIC, "value": None, "unit": "tokens/s/chip",
+            "vs_baseline": None, "error": err, "extra": {},
+        }
+    else:
+        result = headline
+    extra = result.setdefault("extra", {})
 
-        gc.collect()
-        jax.clear_caches()
-        gc.collect()
-        try:
-            live = [x for x in jax.live_arrays()]
-            gb = sum(getattr(x, "nbytes", 0) for x in live) / 2**30
-            if gb > 0.5:
-                extra[f"{tag}_hbm_live_gb"] = round(gb, 2)
-        except Exception:
-            pass
-
-    def leg(name, env, fn):
-        if os.environ.get(env, "1") != "1":
-            return
-        if time.time() - t_start > budget_s:
+    # optional legs in increasing-memory order, each gated by an env var AND
+    # a global soft budget so a degraded tunnel cannot eat the driver's whole
+    # window; every failure/skip is recorded machine-readably.
+    for name, env_var in _LEG_ENV.items():
+        if os.environ.get(env_var, "1") != "1":
+            continue
+        elapsed = time.time() - t_start
+        if elapsed > budget_s:
             extra[f"{name}_skipped"] = "budget"
-            return
-        _scrub(name)
-        try:
-            out = fn()
-            if isinstance(out, dict):
-                extra.update(out)
-            else:
-                extra[name] = out
-        except Exception as e:  # keep the headline even if a leg dies
-            extra[f"{name}_error"] = f"{type(e).__name__}: {e}"[:300]
+            continue
+        out, err = _spawn_leg(name, max(180.0, budget_s - elapsed))
+        if out is None:
+            extra[f"{name}_error"] = err
+        elif isinstance(out, dict):
+            out.pop("extra", None)
+            extra.update(out)
+        else:
+            extra[name] = out
 
-    # image-inclusive TTFT @336/448 + batched encode throughput (BASELINE
-    # gate <= 150 ms @336px; north-star "prefill images/sec")
-    leg("vision", "BENCH_TTFT", measure_vision_suite)
-    # 0B4 training throughput (driver-recorded evidence for the train claims)
-    leg("train_tok_per_s_0B4_B2a4", "BENCH_TRAIN", measure_train_step_0b4)
-    # v6-family training (the published-paper backbone) at the same geometry
-    leg(
-        "train_tok_per_s_0B4_x060", "BENCH_TRAIN_X060",
-        lambda: measure_train_step_0b4(x=8, version="x060", stacked=False),
-    )
-    # 1B5 training on ONE chip via the master-less bf16_sr optimizer.
-    # List layout: the stacked tree's whole-depth [23, ...] gradient leaves
-    # push compile-time HBM to 16.59G/15.75G at this scale (64.5% HLO-temp
-    # fragmentation), while the per-layer list leaves free early and fit.
-    leg(
-        "train_tok_per_s_1B5_bf16sr", "BENCH_TRAIN_1B5",
-        lambda: measure_train_step_0b4(
-            x=8, n_embd=2048, optim_precision="bf16_sr", stacked=False
-        ),
-    )
-    # speculative decoding at the single-stream latency point (bf16 1B5 +
-    # int8 self-draft; measured acceptance, lossless greedy)
-    leg("spec_decode", "BENCH_SPEC", measure_spec_decode)
-    # 7B x060 int8 serving (BASELINE configs[3]); biggest HBM leg, runs last
-    leg("decode_tok_per_s_7B_x060_int8", "BENCH_7B", measure_decode_7b_x060)
     extra["bench_total_s"] = round(time.time() - t_start, 1)
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--leg":
+        run_leg_child(sys.argv[2])
+    else:
+        main()

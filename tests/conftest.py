@@ -34,7 +34,13 @@ jax.config.update("jax_platforms", "cpu")
 # keyed by a CPU-feature fingerprint (utils/jax_cache.py): the AOT code is
 # machine-specific and loading another machine's cache crashed XLA when the
 # CI box was swapped mid-round.
-from visualrwkv_tpu.utils.jax_cache import machine_cache_dir  # noqa: E402
+from visualrwkv_tpu.utils.jax_cache import (  # noqa: E402
+    ensure_validated,
+    machine_cache_dir,
+)
 
-jax.config.update("jax_compilation_cache_dir", machine_cache_dir())
+_repo_root = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
+jax.config.update(
+    "jax_compilation_cache_dir", ensure_validated(machine_cache_dir(_repo_root))
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)

@@ -221,3 +221,22 @@ def test_benchmark_app_spec_branch(tmp_path):
     assert spec and spec[0]["tok_per_s"] > 0
     assert 0.0 <= spec[0]["acceptance"] <= 1.0
     assert any("new_tokens" in r and "spec_k" not in r for r in recs)
+
+
+def test_benchmark_app_separate_small_draft(tmp_path):
+    """--spec_draft small: two-checkpoint deployment shape (separate int8
+    draft with its own geometry proposing for the bf16 target)."""
+    from visualrwkv_tpu.apps import benchmark as bm
+
+    out = tmp_path / "bench_small.jsonl"
+    bm.main([
+        "--n_layer", "2", "--n_embd", "64", "--ctx_len", "64",
+        "--max_pow", "2", "--reps", "2", "--discard", "1",
+        "--spec_k", "2", "--spec_draft", "small",
+        "--draft_n_layer", "1", "--draft_n_embd", "64",
+        "--output_file", str(out),
+    ])
+    recs = [json.loads(l) for l in out.read_text().splitlines()]
+    spec = [r for r in recs if r.get("spec_draft") == "small"]
+    assert spec and spec[0]["tok_per_s"] > 0
+    assert 0.0 <= spec[0]["acceptance"] <= 1.0

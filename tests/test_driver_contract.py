@@ -120,3 +120,101 @@ def test_bench_train_step_flow_tiny():
         vocab_size=512,  # flow-only: the 65536 head dominated CPU compile
     )
     assert v > 0
+
+
+def test_bench_leg_subprocess_roundtrip(monkeypatch):
+    """Each bench leg runs in a FRESH process (round-4 BENCH had three legs
+    die RESOURCE_EXHAUSTED from in-process HBM residue). The fake-leg hook
+    exercises the real child spawn + tagged-JSON parse path."""
+    bench = _load("bench_leg_rt", "bench.py")
+    monkeypatch.setenv("BENCH_FAKE_LEG_JSON", '{"spec_speedup_B1": 1.2}')
+    out, err = bench._spawn_leg("spec_decode", timeout_s=120.0)
+    assert err is None
+    assert out == {"spec_speedup_B1": 1.2}
+
+
+def test_bench_leg_subprocess_crash_is_contained(monkeypatch):
+    """A leg dying by signal (the OOM/SIGABRT shape) must come back as an
+    error string, not an exception — the headline line must survive."""
+    bench = _load("bench_leg_crash", "bench.py")
+    monkeypatch.setenv("BENCH_FAKE_LEG_JSON", "{}")
+    monkeypatch.setenv("BENCH_FAKE_LEG_SIGNAL", "6")  # SIGABRT
+    out, err = bench._spawn_leg("decode", timeout_s=120.0)
+    assert out is None
+    assert "rc=-6" in err
+
+
+def test_bench_main_merges_and_prints_one_line(monkeypatch, capsys):
+    """bench.py main() orchestrates subprocess legs and still prints exactly
+    ONE JSON line with the headline metric key."""
+    bench = _load("bench_leg_main", "bench.py")
+    monkeypatch.setenv("BENCH_SKIP_PROBE", "1")
+
+    def fake_spawn(name, timeout_s):
+        if name == "decode":
+            return {"metric": bench.METRIC, "value": 7000.0,
+                    "unit": "tokens/s/chip", "vs_baseline": 3.5,
+                    "extra": {}}, None
+        if name == "vision":
+            return {"ttft_p50_ms_336px": 100.0}, None
+        if name == "spec_decode":
+            return None, "rc=-6: boom"
+        return 123.0, None
+
+    monkeypatch.setattr(bench, "_spawn_leg", fake_spawn)
+    bench.main()
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    assert rec["metric"] == bench.METRIC and rec["value"] == 7000.0
+    assert rec["extra"]["ttft_p50_ms_336px"] == 100.0
+    assert rec["extra"]["spec_decode_error"] == "rc=-6: boom"
+    assert rec["extra"]["train_tok_per_s_1B5_bf16sr"] == 123.0
+    assert "bench_total_s" in rec["extra"]
+
+
+def test_bench_headline_failure_still_parseable(monkeypatch, capsys):
+    """If even the headline decode leg dies, main() must emit one parseable
+    line carrying the SAME metric key plus the error."""
+    bench = _load("bench_leg_headfail", "bench.py")
+    monkeypatch.setenv("BENCH_SKIP_PROBE", "1")
+    monkeypatch.setattr(bench, "_spawn_leg", lambda n, t: (None, "rc=-9: oom"))
+    bench.main()
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["metric"] == bench.METRIC and rec["value"] is None
+    assert rec["error"] == "rc=-9: oom"
+    for name in bench._LEG_ENV:
+        assert f"{name}_error" in rec["extra"]
+
+
+def test_dryrun_signal_death_wipes_cache_and_retries(monkeypatch, tmp_path):
+    """A child SIGABRT (poisoned AOT cache shape) triggers ONE wipe+retry."""
+    graft = _load("graft_retry", "__graft_entry__.py")
+    from visualrwkv_tpu.utils import jax_cache
+
+    calls = {"run": 0, "wiped": []}
+
+    class FakeProc:
+        def __init__(self, rc):
+            self.returncode = rc
+
+    def fake_run(cmd, env=None, cwd=None, **k):
+        calls["run"] += 1
+        return FakeProc(-6 if calls["run"] == 1 else 0)
+
+    monkeypatch.delenv("_VRWKV_DRYRUN_CHILD", raising=False)
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(
+        jax_cache, "_run_canary", lambda d, t: 0
+    )
+    # route the cache dir into tmp so the wipe cannot touch the real cache
+    import visualrwkv_tpu.utils.jax_cache as jc
+    monkeypatch.setattr(
+        jc, "machine_cache_dir", lambda root=None: str(tmp_path)
+    )
+    monkeypatch.setattr(
+        jc, "wipe_cache_dir", lambda d: calls["wiped"].append(d)
+    )
+    graft.dryrun_multichip(8)
+    assert calls["run"] == 2
+    assert calls["wiped"] == [str(tmp_path)]

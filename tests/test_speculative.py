@@ -121,3 +121,26 @@ def test_speculative_int8_self_draft_runs():
     )
     np.testing.assert_array_equal(spec.tokens, ref.tokens)
     assert 0 <= int(spec.accepted.sum()) <= spec.rounds * 4 * 2
+
+
+def test_separate_small_draft_int8_deployment_shape():
+    """The deployment configuration VERDICT r4 asked to exercise end to end:
+    a SEPARATE smaller checkpoint, int8-quantized, with different depth AND
+    width from the bf16-compute target — still byte-lossless greedy."""
+    from visualrwkv_tpu.infer.quant import quantize_lm_params
+
+    cfg = text_cfg("x070", n_layer=3, n_embd=64)
+    params = _params(cfg, seed=0)
+    draft_cfg = text_cfg("x070", n_layer=1, n_embd=32, seed_dim=16)
+    draft = {"rwkv": quantize_lm_params(_params(draft_cfg, seed=9)["rwkv"])}
+
+    ids = np.array(jax.random.randint(jax.random.PRNGKey(5), (2, 6), 1, 500))
+    ref = InferenceEngine(params, cfg).generate(
+        ids, max_new_tokens=20, do_sample=False, stop_tokens=()
+    )
+    for k in (2, 5):
+        s = SpeculativeEngine(params, cfg, draft, draft_cfg, k=k).generate(
+            ids, max_new_tokens=20, stop_tokens=()
+        )
+        np.testing.assert_array_equal(s.tokens, ref.tokens)
+        assert s.rounds >= 1

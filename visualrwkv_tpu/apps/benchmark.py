@@ -47,9 +47,21 @@ def main(argv=None):
     p.add_argument("--reps", default=15, type=int)
     p.add_argument("--discard", default=5, type=int)
     p.add_argument("--spec_k", default=0, type=int,
-                   help="also benchmark speculative decoding with an int8 "
-                        "self-draft at this proposal window (0 = off; "
-                        "greedy-lossless, see infer/speculative.py)")
+                   help="also benchmark speculative decoding at this "
+                        "proposal window (0 = off; greedy-lossless, see "
+                        "infer/speculative.py)")
+    p.add_argument("--spec_draft", default="int8_self",
+                   choices=["int8_self", "small"],
+                   help="draft source: int8_self = quantized copy of the "
+                        "target (no second checkpoint); small = a separate "
+                        "smaller RWKV draft (--draft_n_layer/--draft_n_embd, "
+                        "optionally --draft_model_path)")
+    p.add_argument("--draft_n_layer", default=12, type=int)
+    p.add_argument("--draft_n_embd", default=768, type=int)
+    p.add_argument("--draft_model_path", default="", type=str,
+                   help=".pth checkpoint for the separate draft (random "
+                        "init if empty)")
+    p.add_argument("--draft_quant", default="int8", choices=["none", "int8"])
     p.add_argument("--output_file", default="benchmark_results.jsonl")
     args = p.parse_args(argv)
 
@@ -150,13 +162,38 @@ def main(argv=None):
         vcfg = VLMConfig(rwkv=cfg, vision=VisionConfig(towers=()),
                          proj_type="linear", num_token_per_image=1)
         tgt = {"rwkv": params}
-        if args.quant == "none":
-            draft = {"rwkv": quantize_self_draft(params)}
+        if args.spec_draft == "small":
+            # deployment shape: a SEPARATE smaller draft checkpoint
+            dcfg = RWKVConfig(n_layer=args.draft_n_layer,
+                              n_embd=args.draft_n_embd, ctx_len=args.ctx_len)
+            dvcfg = VLMConfig(rwkv=dcfg, vision=VisionConfig(towers=()),
+                              proj_type="linear", num_token_per_image=1)
+            if args.draft_model_path.endswith(".pth"):
+                from visualrwkv_tpu.convert.pth_import import (
+                    import_rwkv_state_dict,
+                    load_pth,
+                )
+
+                dparams = import_rwkv_state_dict(load_pth(args.draft_model_path))
+            else:
+                dparams = jax.jit(
+                    lambda p: jax.tree_util.tree_map(
+                        lambda x: x.astype(jnp.bfloat16), p
+                    )
+                )(jax.jit(functools.partial(rwkv7.init_rwkv7_params, cfg=dcfg))(
+                    jax.random.PRNGKey(7)))
+            if args.draft_quant == "int8":
+                from visualrwkv_tpu.infer.quant import quantize_lm_params
+
+                dparams = jax.jit(quantize_lm_params)(dparams)
+            draft, dvcfg_used = {"rwkv": dparams}, dvcfg
+        elif args.quant == "none":
+            draft, dvcfg_used = {"rwkv": quantize_self_draft(params)}, vcfg
         else:
             # already-int8 target: the draft IS the target (full acceptance;
             # measures loop overhead rather than a deployment config)
-            draft = tgt
-        spec = SpeculativeEngine(tgt, vcfg, draft, vcfg, k=args.spec_k)
+            draft, dvcfg_used = tgt, vcfg
+        spec = SpeculativeEngine(tgt, vcfg, draft, dvcfg_used, k=args.spec_k)
         n = 2**args.max_pow
         ids = np.asarray(prompt)
         r = spec.generate(ids, max_new_tokens=n, stop_tokens=())
@@ -170,6 +207,7 @@ def main(argv=None):
             "new_tokens": n,
             "batch": args.batch,
             "spec_k": args.spec_k,
+            "spec_draft": args.spec_draft,
             "latency_s": round(mean_s, 5),
             "tok_per_s": round(args.batch * n / mean_s, 1),
             "acceptance": round(
