@@ -503,7 +503,8 @@ def measure_train_step_0b4(x: int = 16, rounds: int = 2, n_layer: int = 24,
                            accum: int = 4, T: int = 2048,
                            vocab_size: int = 65536, version: str = "x070",
                            optim_precision: str = "master_fp32",
-                           stacked: bool = True) -> float:
+                           stacked: bool = True, grad_cp=True,
+                           ce_chunk_t: int = 512) -> float:
     """Steady-state text-only training throughput (tok/s/chip). Default
     geometry is 0B4 RWKV-7 L24/C1024: bf16 params + fp32 masters, stacked
     layout, per-block remat, fused two-level WKV kernels, micro-batch 2 x
@@ -525,8 +526,8 @@ def measure_train_step_0b4(x: int = 16, rounds: int = 2, n_layer: int = 24,
     )
     cfg = TrainConfig(
         micro_bsz=micro_bsz, accumulate_grad_batches=accum,
-        param_dtype="bfloat16", stacked_layers=stacked, grad_cp=True,
-        optim_precision=optim_precision,
+        param_dtype="bfloat16", stacked_layers=stacked, grad_cp=grad_cp,
+        optim_precision=optim_precision, ce_chunk_t=ce_chunk_t,
         epoch_steps=100, epoch_count=1,
     )
     params = init_visualrwkv_params(jax.random.PRNGKey(0), vlm_cfg)
@@ -570,18 +571,30 @@ LEGS = {
     # image-inclusive TTFT @336/448 + batched encode throughput (BASELINE
     # gate <= 150 ms @336px; north-star "prefill images/sec")
     "vision": measure_vision_suite,
-    # 0B4 training throughput (driver-recorded evidence for train claims)
-    "train_tok_per_s_0B4_B2a4": measure_train_step_0b4,
+    # 0B4 training throughput (driver-recorded evidence for train claims).
+    # ce_chunk_t=2048 (=T, one CE chunk): the round-5 profiler traced the
+    # fp32 [C,vocab] head-wgrad accumulator at 51 ms/step of pure re-read/
+    # re-write traffic at chunk 128; one chunk per micro-step removes it
+    # (measured +6.1%, 19,143 -> 20,313 tok/s, 36.0% MFU). The 1.07 GB
+    # fp32 logits buffer this costs is free at 0B4 geometry only, so it is
+    # per-leg here, not the TrainConfig default (128, safe at the 1B5 edge
+    # where even 512's 268 MB chunk OOMs - measured).
+    "train_tok_per_s_0B4_B2a4": lambda: measure_train_step_0b4(
+        ce_chunk_t=2048
+    ),
     # v6-family training (the published-paper backbone) at the same geometry
     "train_tok_per_s_0B4_x060": lambda: measure_train_step_0b4(
-        x=8, version="x060", stacked=False
+        x=8, version="x060", stacked=False, ce_chunk_t=2048
     ),
     # 1B5 training on ONE chip via the master-less bf16_sr optimizer.
     # List layout: the stacked tree's whole-depth [23, ...] gradient leaves
     # push compile-time HBM to 16.59G/15.75G at this scale (64.5% HLO-temp
     # fragmentation), while the per-layer list leaves free early and fit.
+    # ce_chunk_t stays 128 here: 512's 268 MB logits chunk OOMs this
+    # 15.06/15.75 GB config (measured 2026-08-20).
     "train_tok_per_s_1B5_bf16sr": lambda: measure_train_step_0b4(
-        x=8, n_embd=2048, optim_precision="bf16_sr", stacked=False
+        x=8, n_embd=2048, optim_precision="bf16_sr", stacked=False,
+        ce_chunk_t=128
     ),
     # speculative decoding at the single-stream latency point (bf16 1B5 +
     # int8 self-draft; measured acceptance, lossless greedy)

@@ -94,23 +94,43 @@ def parse_trace(out_dir: str, n_steps: int, tokens_per_step: int,
     trace = glob.glob(os.path.join(runs[-1], "*.trace.json.gz"))[0]
     with gzip.open(trace) as f:
         d = json.load(f)
-    per_op = collections.defaultdict(lambda: [0.0, 0, 0.0, "", ""])
-    total_us = 0.0
+    # SELF time per op: trace events nest (jit program > while loops > ops);
+    # walk each thread's events in start order with a stack and subtract
+    # child durations from the enclosing parent, so categories sum to the
+    # true device-busy time instead of triple-counting loop bodies.
+    by_tid = collections.defaultdict(list)
     for e in d.get("traceEvents", []):
         a = e.get("args") or {}
         if e.get("ph") != "X" or "device_duration_ps" not in a:
             continue
-        dur_us = int(a["device_duration_ps"]) / 1e6
-        name = e.get("name", "?")
-        cat = a.get("hlo_category", "?")
-        ln = a.get("long_name", "")
-        rec = per_op[name]
-        rec[0] += dur_us
-        rec[1] += 1
-        rec[2] += float(a.get("bytes_accessed", 0) or 0)
-        rec[3] = cat
-        rec[4] = ln
-        total_us += dur_us
+        ts = int(a.get("device_offset_ps", int(e.get("ts", 0) * 1e6)))
+        dur = int(a["device_duration_ps"])
+        by_tid[(e.get("pid"), e.get("tid"))].append((ts, dur, e))
+
+    per_op = collections.defaultdict(lambda: [0.0, 0, 0.0, "", ""])
+    total_us = 0.0
+    for _, evs in by_tid.items():
+        evs.sort(key=lambda t: (t[0], -t[1]))
+        stack = []  # (end_ps, child_ps_accum_index into selfs)
+        selfs = []
+        for ts, dur, e in evs:
+            while stack and ts >= stack[-1][0]:
+                stack.pop()
+            if stack:
+                selfs[stack[-1][1]][1] -= dur  # subtract from parent's self
+            selfs.append([e, dur])
+            stack.append((ts + dur, len(selfs) - 1))
+        for e, self_ps in selfs:
+            a = e.get("args") or {}
+            dur_us = max(0, self_ps) / 1e6
+            name = e.get("name", "?")
+            rec = per_op[name]
+            rec[0] += dur_us
+            rec[1] += 1
+            rec[2] += float(a.get("bytes_accessed", 0) or 0)
+            rec[3] = a.get("hlo_category", "?")
+            rec[4] = a.get("long_name", "")
+            total_us += dur_us
 
     step_us = total_us / n_steps
     rollup = collections.defaultdict(lambda: [0.0, 0.0])

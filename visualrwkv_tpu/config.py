@@ -146,6 +146,16 @@ class TrainConfig:
     # 15.2k tok/s) AND needs ~3 GB more HBM - the backward is WKV-kernel
     # bound, not projection-recompute bound. Default stays full.
     grad_cp: Any = True
+    # chunked-CE T-chunk. r5 profile: at 128 the fp32 [C, vocab] head-wgrad
+    # accumulator is re-read/written every chunk (64x/step at 0B4 B2a4 =
+    # 51 ms, 6% of the step, pure accumulator traffic). Bigger chunks are
+    # monotonically faster (measured at 0B4: 512 +2.4%, 1024 +3.5%,
+    # 2048=T +6.1% -> 36% MFU) but cost a B*chunk*vocab*4-byte fp32 logits
+    # buffer per chunk (1.07 GB at chunk=T); at the 1B5-on-one-chip HBM
+    # edge even 512's 268 MB OOMs (measured). The default stays the
+    # edge-safe 128; raise it explicitly when HBM allows (the 0B4 bench
+    # legs run 2048).
+    ce_chunk_t: int = 128
     # freezing controls (reference model.py:368-388, train.py:192-196)
     freeze_rwkv_layers: int = 0
     freeze_emb: bool = False

@@ -92,7 +92,8 @@ def _make_loss_fn(cfg: TrainConfig, vlm_cfg: VLMConfig, mesh) -> Callable:
         manual = frozenset({"data", "seq"})
         _seq_loss = jax.shard_map(
             lambda p, ids, lbl: training_loss_seq(
-                p, vlm_cfg, ids, lbl, grad_cp=cfg.grad_cp
+                p, vlm_cfg, ids, lbl, grad_cp=cfg.grad_cp,
+                ce_chunk_t=cfg.ce_chunk_t,
             ),
             mesh=mesh,
             in_specs=(P(), P("data", "seq"), P("data", "seq")),
@@ -101,7 +102,8 @@ def _make_loss_fn(cfg: TrainConfig, vlm_cfg: VLMConfig, mesh) -> Callable:
         )
         _seq_loss_embeds = jax.shard_map(
             lambda p, emb, lbl: training_loss_seq(
-                p, vlm_cfg, None, lbl, grad_cp=cfg.grad_cp, embeds=emb
+                p, vlm_cfg, None, lbl, grad_cp=cfg.grad_cp, embeds=emb,
+                ce_chunk_t=cfg.ce_chunk_t,
             ),
             mesh=mesh,
             in_specs=(P(), P("data", "seq", None), P("data", "seq")),
@@ -141,6 +143,7 @@ def _make_loss_fn(cfg: TrainConfig, vlm_cfg: VLMConfig, mesh) -> Callable:
             micro["labels"],
             micro.get("images"),
             grad_cp=cfg.grad_cp,
+            ce_chunk_t=cfg.ce_chunk_t,
         )
 
     return loss_fn
