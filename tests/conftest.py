@@ -40,7 +40,10 @@ from visualrwkv_tpu.utils.jax_cache import (  # noqa: E402
 )
 
 _repo_root = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
-jax.config.update(
-    "jax_compilation_cache_dir", ensure_validated(machine_cache_dir(_repo_root))
+# VISUALRWKV_TEST_CACHE_DIR overrides the cache location (cold-run timing
+# without touching the warm cache; point it at a scratch dir)
+_cache_dir = os.environ.get("VISUALRWKV_TEST_CACHE_DIR") or machine_cache_dir(
+    _repo_root
 )
+jax.config.update("jax_compilation_cache_dir", ensure_validated(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)

@@ -12,6 +12,8 @@ visualrwkv_tpu/utils/jax_cache.py.
 
 import os
 
+import pytest
+
 from visualrwkv_tpu.utils import jax_cache
 from visualrwkv_tpu.utils.jax_cache import (
     _cpu_fingerprint,
@@ -113,6 +115,8 @@ def test_machine_cache_dir_layout(tmp_path):
 def test_conftest_uses_machine_keyed_dir():
     import jax
 
+    if os.environ.get("VISUALRWKV_TEST_CACHE_DIR"):
+        pytest.skip("cache dir explicitly overridden for this run")
     cfg_dir = jax.config.jax_compilation_cache_dir
     assert cfg_dir and os.path.basename(cfg_dir).startswith("m-")
 

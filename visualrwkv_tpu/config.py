@@ -195,4 +195,12 @@ class TrainConfig:
     # split when (2*params + opt_state) bytes exceed 60% of one chip's HBM on
     # a single-device TPU mesh. The extra dispatch costs one RTT (~30 ms).
     split_step: Optional[bool] = None
+    # split-step optimizer leaf-group size (MB). Each barrier-sequenced
+    # group materializes fp32 temps ~6x its bf16 bytes and two groups
+    # co-live at each barrier seam, so the opt program's temp peak scales
+    # with this. 2026-08-20: the serving environment began reserving more
+    # HBM server-side and the 128 MB grouping that compiled at 15.06/15.75
+    # GB in round 4 started RESOURCE_EXHAUSTING at load; 64 MB restores
+    # ~1.4 GB of headroom for a few ms of extra barrier latency per step.
+    opt_partition_mb: int = 64
     wandb_project: str = ""

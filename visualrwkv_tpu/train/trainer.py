@@ -213,6 +213,7 @@ def make_train_step(
 
 def make_split_train_step(
     cfg: TrainConfig, vlm_cfg: VLMConfig, opt: optax.GradientTransformation, mesh,
+    aot_shapes=None,
 ) -> Callable:
     """Two-dispatch train step: a grad program, then an optimizer program.
 
@@ -265,9 +266,44 @@ def make_split_train_step(
             )
         return new_params, new_opt_state, step + 1
 
+    # Pre-compile AND pre-load the opt executable while HBM is still mostly
+    # empty (2026-08-20 regression): the serving environment's runtime began
+    # refusing to load this executable (runtime ResourceExhausted from
+    # compile_and_load) once params+moments+grads (~12.2 GB at 1B5 bf16_sr)
+    # are resident, even though the loaded program then EXECUTES fine at
+    # 15.07/15.75 GB peak (measured; the load path appears to transiently
+    # need more than free-HBM-at-load). Lowering with abstract shapes at
+    # Trainer init — before the optimizer state materializes — sidesteps the
+    # squeeze entirely; the jit path stays for CPU/tests.
+    opt_call = opt_fn
+    grad_aot = None
+    if aot_shapes is not None:
+        p_sh, o_sh, g_sh = aot_shapes
+        s_sh = jax.ShapeDtypeStruct((), jnp.int32)
+        # grad program too: its load with params+moments resident (9.2 GB at
+        # 1B5) fails the same transient check, so both executables load now
+        eff = cfg.micro_bsz * accum
+        ids_sh = jax.ShapeDtypeStruct((eff, vlm_cfg.rwkv.ctx_len), jnp.int32)
+        batch_sh = {"input_ids": ids_sh, "labels": ids_sh, "images": None}
+        grad_aot = grad_fn.lower(p_sh, batch_sh, plan=None).compile()
+        opt_call = opt_fn.lower(p_sh, o_sh, g_sh, s_sh).compile()
+
     def train_step(state_params, opt_state, step, batch, plan=None):
-        loss, grads = grad_fn(state_params, batch, plan=plan)
-        new_params, new_opt_state, step = opt_fn(state_params, opt_state, grads, step)
+        use_aot = (
+            grad_aot is not None and plan is None
+            and batch.get("images") is None
+            and tuple(batch["input_ids"].shape)
+            == (cfg.micro_bsz * accum, vlm_cfg.rwkv.ctx_len)
+        )
+        if use_aot:
+            loss, grads = grad_aot(state_params, {
+                "input_ids": batch["input_ids"],
+                "labels": batch["labels"],
+                "images": None,
+            })
+        else:
+            loss, grads = grad_fn(state_params, batch, plan=plan)
+        new_params, new_opt_state, step = opt_call(state_params, opt_state, grads, step)
         return new_params, new_opt_state, step, loss
 
     return train_step
@@ -425,16 +461,18 @@ class Trainer:
             from visualrwkv_tpu.train.optim import make_partitioned_optimizer
 
             self.opt = make_partitioned_optimizer(
-                train_cfg, self.params, total_steps, vlm_cfg.rwkv.n_layer
+                train_cfg, self.params, total_steps, vlm_cfg.rwkv.n_layer,
+                max_partition_bytes=train_cfg.opt_partition_mb * 1024 * 1024,
             )
             opt_shape = jax.eval_shape(self.opt.init, self.params)
 
+        # Build the train step BEFORE materializing the optimizer state: the
+        # split-step path AOT pre-loads its opt executable, which must happen
+        # while HBM is still free (see make_split_train_step); the shardings
+        # it needs are all derivable from eval_shape'd structures.
         opt_host = opt_dev = None
+        o_shard = None
         if train_cfg.zero_stage >= 1 or train_cfg.offload_optimizer:
-            # initialize the optimizer state DIRECTLY into its target
-            # shardings (jit out_shardings on the eval_shape'd structure):
-            # materializing 12-18 GB of fp32 masters+moments in HBM first and
-            # moving them after is itself an OOM at 1B5+ on one chip
             o_shard = zero_sharding(opt_shape, self.mesh)
             if wants_host_offload:
                 # DeepSpeedCPUAdam analog: optimizer moments live in pinned
@@ -444,21 +482,34 @@ class Trainer:
                     lambda s: s.with_memory_kind("pinned_host"), o_shard
                 )
                 o_shard = opt_host
-            opt_state = jax.jit(self.opt.init, out_shardings=o_shard)(self.params)
-        else:
-            opt_state = jax.jit(self.opt.init)(self.params)
-        self.state = TrainState(
-            params=self.params, opt_state=opt_state, step=jnp.zeros((), jnp.int32)
-        )
         if self.split_step_enabled:
+            aot = None
+            # single-device TPU only: abstract lowering carries no shardings,
+            # so a multi-device (sharded opt state) split step keeps the jit
+            # path where shardings are inferred from the real arguments
+            if jax.default_backend() == "tpu" and not self._multi_device:
+                to_shape = lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
+                p_sh = jax.tree_util.tree_map(to_shape, self.params)
+                aot = (p_sh, opt_shape, p_sh)  # clipped grads are param-dtype
             self.train_step = make_split_train_step(
-                train_cfg, vlm_cfg, self.opt, self.mesh
+                train_cfg, vlm_cfg, self.opt, self.mesh, aot_shapes=aot
             )
         else:
             self.train_step = make_train_step(
                 train_cfg, vlm_cfg, self.opt, self.mesh,
                 opt_host_shardings=opt_host, opt_device_shardings=opt_dev,
             )
+        if o_shard is not None:
+            # initialize the optimizer state DIRECTLY into its target
+            # shardings (jit out_shardings on the eval_shape'd structure):
+            # materializing 12-18 GB of fp32 masters+moments in HBM first and
+            # moving them after is itself an OOM at 1B5+ on one chip
+            opt_state = jax.jit(self.opt.init, out_shardings=o_shard)(self.params)
+        else:
+            opt_state = jax.jit(self.opt.init)(self.params)
+        self.state = TrainState(
+            params=self.params, opt_state=opt_state, step=jnp.zeros((), jnp.int32)
+        )
         self.history: list = []
         from visualrwkv_tpu.utils.observability import ThroughputMeter, TrainLogWriter
 
