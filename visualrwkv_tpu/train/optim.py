@@ -147,6 +147,17 @@ class ScaleByAdamLowMemState(NamedTuple):
     nu: Any
 
 
+class ChunkedLeafState(NamedTuple):
+    """State of a :class:`PartitionedOptimizer` row-chunked big-leaf group:
+    bf16 moments for the one leaf plus the two step counts the fused chain
+    keeps (inject_hyperparams schedule count, adam bias-correction count)."""
+
+    sched_count: jnp.ndarray
+    count: jnp.ndarray
+    mu: Any
+    nu: Any
+
+
 def scale_by_adam_lowmem(
     b1: float, b2: float, eps: float, moment_dtype=jnp.bfloat16
 ) -> optax.GradientTransformation:
@@ -385,6 +396,19 @@ class PartitionedOptimizer:
     chip across time instead of across ranks.
     """
 
+    # row-chunked update for oversized leaves (emb/head: 268 MB bf16 at 1B5,
+    # 536 MB at 7B): the whole-leaf fp32 update materializes ~5 copies
+    # (2.6 GB measured via compiled memory_analysis at 1B5 — invariant to
+    # group size, it IS the one-big-leaf group), which since the 2026-08-20
+    # runtime change no longer fits next to the grad program's arena. Leaves
+    # above _CHUNK_LEAF_BYTES process in ~_CHUNK_TARGET_BYTES row slices,
+    # barrier-sequenced like groups; same formulas (shared sr_round_bf16 /
+    # schedule fns), but SR random bits come from per-chunk fold_in keys, so
+    # chunked leaves are statistically — not bitwise — identical to the
+    # fused path. bf16_sr mode only (master_fp32 big leaves carry masters).
+    _CHUNK_LEAF_BYTES = 64 * 1024 * 1024
+    _CHUNK_TARGET_BYTES = 16 * 1024 * 1024
+
     def __init__(self, cfg: TrainConfig, params: Params, total_steps: int,
                  n_layer: int, max_partition_bytes: int = 128 * 1024 * 1024):
         import dataclasses
@@ -431,9 +455,31 @@ class PartitionedOptimizer:
 
         self.grad_clip = float(cfg.grad_clip)
         self.sr = cfg.optim_precision == "bf16_sr"
+        self._cfg = cfg
+        self._total_steps = total_steps
+        # chunked big leaves: only single-leaf groups qualify (the greedy
+        # packer already isolates any leaf above the partition bound)
+        wd_leaves = treedef.flatten_up_to(weight_decay_mask(params))
+        self._chunked: dict = {}
+        if self.sr:
+            for pid, idxs in enumerate(self.parts_idx):
+                if len(idxs) != 1:
+                    continue
+                i = idxs[0]
+                nb = int(getattr(leaves[i], "nbytes", 0))
+                shape = jnp.shape(leaves[i])
+                if nb > self._CHUNK_LEAF_BYTES and len(shape) >= 2:
+                    k = min(
+                        shape[0],
+                        max(2, -(-nb // self._CHUNK_TARGET_BYTES)),
+                    )
+                    self._chunked[pid] = (k, bool(wd_leaves[i]))
         cfg_noclip = dataclasses.replace(cfg, grad_clip=0.0)
         self.opts = []
-        for idxs in self.parts_idx:
+        for pid, idxs in enumerate(self.parts_idx):
+            if pid in self._chunked:
+                self.opts.append(None)
+                continue
             sel = set(idxs)
             flags = [i in sel for i in range(len(leaves))]
             pmask = jax.tree_util.tree_unflatten(treedef, flags)
@@ -443,7 +489,79 @@ class PartitionedOptimizer:
             )
 
     def init(self, params: Params):
-        return tuple(o.init(params) for o in self.opts)
+        leaves = jax.tree_util.tree_flatten(params)[0]
+        out = []
+        for pid, o in enumerate(self.opts):
+            if o is None:
+                p = leaves[self.parts_idx[pid][0]]
+                out.append(ChunkedLeafState(
+                    sched_count=jnp.zeros((), jnp.int32),
+                    count=jnp.zeros((), jnp.int32),
+                    mu=jnp.zeros(jnp.shape(p), jnp.bfloat16),
+                    nu=jnp.zeros(jnp.shape(p), jnp.bfloat16),
+                ))
+            else:
+                out.append(o.init(params))
+        return tuple(out)
+
+    def _chunked_group_update(self, pid, p, g, st, scale, finite, key):
+        """Barrier-sequenced row-chunk update for one oversized leaf; same
+        per-element math as the fused chain (clip round-trip, lowmem adam,
+        decayed weights, lr scale, SR apply) with fp32 temps O(one chunk)."""
+        k, wd_on = self._chunked[pid]
+        cfg = self._cfg
+        f32 = jnp.float32
+        count = st.count + 1
+        c1 = 1.0 - cfg.beta1 ** count.astype(f32)
+        c2 = 1.0 - cfg.beta2 ** count.astype(f32)
+        lr = cosine_warmup_lr(
+            st.sched_count, cfg.lr_init, cfg.lr_final, cfg.warmup_steps,
+            self._total_steps,
+        )
+        wd = wd_schedule(
+            st.sched_count, cfg.weight_decay, cfg.weight_decay_final,
+            cfg.warmup_steps, self._total_steps,
+        ) if wd_on else 0.0
+
+        n = p.shape[0]
+        bounds = [round(c * n / k) for c in range(k + 1)]
+
+        def one(c, args):
+            p_c, g_c, mu_c, nu_c = args
+            g32 = g_c.astype(f32)
+            if scale is not None:
+                # fused-path parity: the clip scales in fp32, casts back to
+                # the gradient dtype, and adam re-casts to fp32
+                g32 = jnp.where(finite, g32 * scale, 0.0).astype(
+                    g_c.dtype).astype(f32)
+            mu32 = cfg.beta1 * mu_c.astype(f32) + (1.0 - cfg.beta1) * g32
+            nu32 = cfg.beta2 * nu_c.astype(f32) + (
+                1.0 - cfg.beta2) * jnp.square(g32)
+            u = (mu32 / c1) / (jnp.sqrt(nu32 / c2) + cfg.adam_eps)
+            u = u + wd * p_c
+            u = -lr * u
+            if p_c.dtype == jnp.bfloat16:
+                p_new = sr_round_bf16(
+                    jax.random.fold_in(key, c), p_c.astype(f32) + u)
+            else:
+                p_new = jnp.asarray(p_c + u).astype(p_c.dtype)
+            return (p_new, mu32.astype(jnp.bfloat16), nu32.astype(jnp.bfloat16))
+
+        outs = []
+        prev = None
+        for c in range(k):
+            sl = slice(bounds[c], bounds[c + 1])
+            args = (p[sl], g[sl], st.mu[sl], st.nu[sl])
+            if prev is not None:
+                args, prev = jax.lax.optimization_barrier((args, prev))
+                outs.append(prev)
+            prev = one(c, args)
+        outs.append(prev)
+        p_new = jnp.concatenate([o[0] for o in outs], axis=0)
+        mu_new = jnp.concatenate([o[1] for o in outs], axis=0)
+        nu_new = jnp.concatenate([o[2] for o in outs], axis=0)
+        return p_new, ChunkedLeafState(
+            sched_count=st.sched_count + 1, count=count, mu=mu_new, nu=nu_new)
 
     def _row_mask(self, g32):
         L1 = g32.shape[0]
@@ -512,6 +630,16 @@ class PartitionedOptimizer:
                     (gsub, pend_vals)
                 )
                 flush(pending, pend_vals)
+            if pid in self._chunked:
+                # oversized leaf: row-chunked update, clip applied inside
+                i = idxs[0]
+                p_new, new_st = self._chunked_group_update(
+                    pid, leaves_p[i], gsub[0], states[pid], scale,
+                    finite if scale is not None else None,
+                    keys[i] if self.sr else None,
+                )
+                pending, pend_vals = (pid, idxs), ([p_new], new_st)
+                continue
             if scale is not None:
                 gsub = [
                     jnp.where(finite, g.astype(f32) * scale, 0.0).astype(g.dtype)
