@@ -611,6 +611,16 @@ LEGS = {
         x=8, n_embd=2048, optim_precision="bf16_sr", stacked=False,
         ce_chunk_t=128
     ),
+    # NOT in _LEG_ENV: spawned by main() only as the documented fallback
+    # when the full-geometry 1B5 leg exhausts its retries. T=1024 halves
+    # the backward working set (~2 GB of slack instead of ~0.3), trading
+    # some efficiency; reported under its own key, never as the full leg.
+    "train_tok_per_s_1B5_bf16sr_T1024": lambda: {
+        "train_tok_per_s_1B5_bf16sr_T1024": measure_train_step_0b4(
+            x=8, n_embd=2048, optim_precision="bf16_sr", stacked=False,
+            ce_chunk_t=128, T=1024,
+        )
+    },
     # speculative decoding at the single-stream latency point (bf16 1B5 +
     # int8 self-draft; measured acceptance, lossless greedy)
     "spec_decode": measure_spec_decode,
@@ -700,6 +710,15 @@ def main():
     # optional legs in increasing-memory order, each gated by an env var AND
     # a global soft budget so a degraded tunnel cannot eat the driver's whole
     # window; every failure/skip is recorded machine-readably.
+    # retries: the 2026-08-20 runtime keeps executable temp arenas resident
+    # and the full-geometry 1B5 leg fits with only ~300 MB of slack, so it
+    # fails nondeterministically; a retry (fresh chip state) often lands it,
+    # and a documented half-T fallback records SOMETHING numeric for the
+    # 1B5-on-one-chip claim when the full geometry will not go.
+    _RETRIES = {"train_tok_per_s_1B5_bf16sr": 1}
+    _FALLBACK = {
+        "train_tok_per_s_1B5_bf16sr": "train_tok_per_s_1B5_bf16sr_T1024",
+    }
     for name, env_var in _LEG_ENV.items():
         if os.environ.get(env_var, "1") != "1":
             continue
@@ -707,7 +726,22 @@ def main():
         if elapsed > budget_s:
             extra[f"{name}_skipped"] = "budget"
             continue
-        out, err = _spawn_leg(name, max(180.0, budget_s - elapsed))
+        attempts = 1 + _RETRIES.get(name, 0)
+        out = err = None
+        for _ in range(attempts):
+            out, err = _spawn_leg(
+                name, max(180.0, budget_s - (time.time() - t_start))
+            )
+            if out is not None:
+                break
+        if out is None and name in _FALLBACK and (
+            time.time() - t_start
+        ) < budget_s:
+            extra[f"{name}_error"] = err
+            out, err = _spawn_leg(
+                _FALLBACK[name],
+                max(180.0, budget_s - (time.time() - t_start)),
+            )
         if out is None:
             extra[f"{name}_error"] = err
         elif isinstance(out, dict):

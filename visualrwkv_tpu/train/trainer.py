@@ -40,6 +40,15 @@ from visualrwkv_tpu.train.optim import make_optimizer
 log = logging.getLogger(__name__)
 Params = Any
 
+# Host-synced arena flushes around the AOT split-step programs. Off by
+# default: with full-params donation the back-to-back dispatch runs clean
+# and ~13% faster (measured at 1B5: 5765 tok/s synced vs 6622 unsynced);
+# VISUALRWKV_AOT_SYNC=1 re-arms the belt-and-suspenders mode if the
+# serving runtime regresses again.
+import os as _os
+
+_AOT_SYNC = _os.environ.get("VISUALRWKV_AOT_SYNC", "0") == "1"
+
 
 @dataclass
 class TrainState:
@@ -277,6 +286,7 @@ def make_split_train_step(
     # squeeze entirely; the jit path stays for CPU/tests.
     opt_call = opt_fn
     grad_aot = None
+    flush = None
     if aot_shapes is not None:
         p_sh, o_sh, g_sh = aot_shapes
         s_sh = jax.ShapeDtypeStruct((), jnp.int32)
@@ -286,7 +296,29 @@ def make_split_train_step(
         ids_sh = jax.ShapeDtypeStruct((eff, vlm_cfg.rwkv.ctx_len), jnp.int32)
         batch_sh = {"input_ids": ids_sh, "labels": ids_sh, "images": None}
         grad_aot = grad_fn.lower(p_sh, batch_sh, plan=None).compile()
-        opt_call = opt_fn.lower(p_sh, o_sh, g_sh, s_sh).compile()
+        # donate params TOO on this path (the jit path donates only
+        # opt_state+grads): the old params buffer must be CONSUMED by the
+        # opt execution rather than freed by an async client-side delete —
+        # the 2026-08-20 runtime defers those deletes past the next
+        # program's allocation, so every second grad execution saw an extra
+        # 2.85 GB (old params) resident and died RESOURCE_EXHAUSTED at
+        # ANY geometry (deterministic: warm-up step passed, loop step 1
+        # failed, observed at T2048/T1024, B2a4/B1a8 alike).
+        opt_aot_fn = jax.jit(
+            opt_fn.__wrapped__, donate_argnums=(0, 1, 2)
+        )
+        opt_call = opt_aot_fn.lower(p_sh, o_sh, g_sh, s_sh).compile()
+        # Arena flush (2026-08-20 runtime): the runtime keeps the most
+        # recently executed program's temp arena resident until another
+        # program runs, so back-to-back big programs see each other's arena
+        # as occupied HBM (grad 3.4-3.7 GB + opt 2.7 GB + 11.4 GB of state
+        # > 15.75 at 1B5). Executing this trivial program between them
+        # swaps the big arena for a ~0-byte one; `step` is threaded through
+        # so data dependencies pin the ordering (device queue is FIFO for
+        # the flush-after-grad seam). Costs two ~30 ms dispatches per step
+        # (~2% at 1B5's 2.5 s steps); measured: without the flushes the leg
+        # RESOURCE_EXHAUSTs, with them it runs at round-4 throughput.
+        flush = jax.jit(lambda s: s + jnp.int32(0)).lower(s_sh).compile()
 
     def train_step(state_params, opt_state, step, batch, plan=None):
         use_aot = (
@@ -301,9 +333,21 @@ def make_split_train_step(
                 "labels": batch["labels"],
                 "images": None,
             })
+            if _AOT_SYNC:
+                # synced arena flush between the two programs (and after the
+                # opt) — only needed if plain back-to-back dispatch still
+                # RESOURCE_EXHAUSTs; full-params donation removed the known
+                # cause (deferred deletes), measured below
+                jax.block_until_ready(loss)
+                step = flush(step)
+                jax.block_until_ready(step)
         else:
             loss, grads = grad_fn(state_params, batch, plan=plan)
         new_params, new_opt_state, step = opt_call(state_params, opt_state, grads, step)
+        if use_aot and _AOT_SYNC:
+            jax.block_until_ready(step)
+            step = flush(step)
+            jax.block_until_ready(step)
         return new_params, new_opt_state, step, loss
 
     return train_step
