@@ -29,7 +29,7 @@ import re
 import time
 
 
-def build_step(geometry: str):
+def build_step(geometry: str, ce_chunk_t: int = 128):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -50,6 +50,7 @@ def build_step(geometry: str):
         param_dtype="bfloat16", stacked_layers=(geometry == "0B4"),
         grad_cp=True,
         optim_precision={"0B4": "master_fp32", "1B5": "bf16_sr"}[geometry],
+        ce_chunk_t=ce_chunk_t,
         epoch_steps=100, epoch_count=1,
     )
     params = init_visualrwkv_params(jax.random.PRNGKey(0), vlm_cfg)
@@ -170,12 +171,13 @@ def main():
     ap.add_argument("--out", default="/tmp/r5trace")
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--geometry", default="0B4", choices=["0B4", "1B5"])
+    ap.add_argument("--ce_chunk", type=int, default=128)
     args = ap.parse_args()
 
     import jax
 
     step_fn, (p_, o_, s_), batch, tokens_per_step, n_params = build_step(
-        args.geometry
+        args.geometry, args.ce_chunk
     )
     t0 = time.time()
     for _ in range(args.warmup):

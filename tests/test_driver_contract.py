@@ -144,6 +144,37 @@ def test_bench_leg_subprocess_crash_is_contained(monkeypatch):
     assert "rc=-6" in err
 
 
+def test_bench_1b5_leg_retries_then_falls_back(monkeypatch, capsys):
+    """The HBM-edge 1B5 leg gets one fresh-subprocess retry, then the
+    documented half-T fallback leg; the record must carry BOTH the full
+    geometry's error and the fallback's numeric key (2026-08-20 runtime
+    regression: the full geometry fits with ~300 MB slack and can fail
+    nondeterministically)."""
+    bench = _load("bench_leg_retry", "bench.py")
+    monkeypatch.setenv("BENCH_SKIP_PROBE", "1")
+    calls = []
+
+    def fake_spawn(name, timeout_s):
+        calls.append(name)
+        if name == "decode":
+            return {"metric": bench.METRIC, "value": 7000.0,
+                    "unit": "tokens/s/chip", "vs_baseline": 3.5,
+                    "extra": {}}, None
+        if name == "train_tok_per_s_1B5_bf16sr":
+            return None, "rc=1: RESOURCE_EXHAUSTED"
+        if name == "train_tok_per_s_1B5_bf16sr_T1024":
+            return {"train_tok_per_s_1B5_bf16sr_T1024": 9000.0}, None
+        return 1.0, None
+
+    monkeypatch.setattr(bench, "_spawn_leg", fake_spawn)
+    bench.main()
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert calls.count("train_tok_per_s_1B5_bf16sr") == 2  # initial + retry
+    assert calls.count("train_tok_per_s_1B5_bf16sr_T1024") == 1
+    assert "RESOURCE_EXHAUSTED" in rec["extra"]["train_tok_per_s_1B5_bf16sr_error"]
+    assert rec["extra"]["train_tok_per_s_1B5_bf16sr_T1024"] == 9000.0
+
+
 def test_bench_main_merges_and_prints_one_line(monkeypatch, capsys):
     """bench.py main() orchestrates subprocess legs and still prints exactly
     ONE JSON line with the headline metric key."""
