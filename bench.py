@@ -658,6 +658,23 @@ def run_leg_child(name: str) -> None:
             os.kill(os.getpid(), int(sig))
         print(_CHILD_JSON_TAG + fake, flush=True)
         return
+    if os.environ.get("BENCH_COMPILE_CACHE", "1") == "1":
+        # persistent executable cache for the TPU legs: the per-leg fresh
+        # subprocesses (HBM isolation) otherwise recompile everything every
+        # round — measured 85 s -> 3.1 s for a cached program over the
+        # axon tunnel. Fail-soft: cache trouble must never cost a leg.
+        try:
+            from visualrwkv_tpu.utils.jax_cache import tpu_cache_dir
+
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                tpu_cache_dir(os.path.dirname(os.path.abspath(__file__))),
+            )
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0
+            )
+        except Exception:
+            pass
     out = LEGS[name]()
     print(_CHILD_JSON_TAG + json.dumps(out), flush=True)
 

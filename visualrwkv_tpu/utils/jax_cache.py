@@ -89,6 +89,24 @@ def _cpu_fingerprint() -> str:
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
 
 
+def tpu_cache_dir(repo_root: str | None = None) -> str:
+    """``<repo>/.jax_cache/t-<cpu-fingerprint>`` for TPU executables
+    (bench legs over the remote-TPU tunnel: measured 85 s -> 3.1 s for a
+    fresh process re-compiling the same program). Kept apart from the CPU
+    AOT dir so the CPU canary/wipe logic never touches TPU entries; the
+    fingerprint includes the jaxlib version, which also bumps when the
+    serialization format changes. A stale entry (e.g. terminal-side libtpu
+    upgrade) deserializes-or-recompiles inside jax's own fail-soft path,
+    and every bench leg already runs in a contained subprocess."""
+    if repo_root is None:
+        repo_root = os.path.abspath(
+            os.path.join(os.path.dirname(__file__), os.pardir, os.pardir)
+        )
+    d = os.path.join(repo_root, ".jax_cache", "t-" + _cpu_fingerprint())
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def machine_cache_dir(repo_root: str | None = None) -> str:
     """``<repo>/.jax_cache/m-<cpu-fingerprint>`` (created if absent).
 
